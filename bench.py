@@ -1,0 +1,84 @@
+"""Benchmark: flagship FlVAE2 training throughput on one TPU chip.
+
+Measures end-to-end train-step throughput (spectrograms/sec/chip) of the
+flagship model — speccnn8l1_bn encoder/decoder + RealNVP-6l300 latent flow
++ RealNVP flow regression over the full 610-dim Dexed learnable space, at
+the reference's canonical batch size 160 and 257x347 mel-spectrograms
+(reference config: config.py:29-51,80) — with HBM-resident batches.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput table (BASELINE.md). We
+use a documented estimate of its single-GPU training rate: speccnn8l1_bn
+fwd+bwd is ~1.5 GMultAdd/sample (encoder 0.12 + decoder 0.36 GMultAdd fwd,
+backward ~2x fwd; reference encoder.py:233, decoder.py:200) plus flow
+overhead; at ~30% fp32 utilization of a V100-class GPU that is ~500
+samples/sec. vs_baseline = ours / 500.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_SPECS_PER_SEC_EST = 500.0
+
+
+def main():
+    from __graft_entry__ import _flagship_configs
+    from preset_gen_vae_tpu.models import build as mbuild
+    from preset_gen_vae_tpu.training import create_train_state, make_train_step
+
+    B = int(os.environ.get("BENCH_BATCH", "160"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+
+    model_c, train_c, helper = _flagship_configs()
+    _, _, _, ext = mbuild.build_extended_ae_model(model_c, train_c, helper)
+    variables = mbuild.init_extended_ae(ext, 0, model_c.input_tensor_size)
+    state = create_train_state(ext, variables, train_c)
+
+    H, W = model_c.spectrogram_size
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, 1, H, W)), dtype=jnp.float32)
+    v = jnp.asarray(
+        helper.full_to_learnable_batch(
+            rng.random((B, helper.full_preset_size)).astype(np.float32)
+        )
+    )
+    info = jnp.asarray(
+        np.tile(np.array([[0, 60, 85]], dtype=np.int32), (B, 1))
+    )
+    key = jax.random.PRNGKey(0)
+    beta = jnp.float32(0.2)
+
+    step = jax.jit(make_train_step(ext, model_c, train_c, helper),
+                   donate_argnums=(0,))
+
+    # warmup + compile
+    state, metrics = step(state, x, v, info, key, beta)
+    jax.block_until_ready(metrics["TotalLoss"])
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, x, v, info, key, beta)
+    jax.block_until_ready(metrics["TotalLoss"])
+    dt = time.perf_counter() - t0
+
+    specs_per_sec = B * n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "flvae2_train_spectrograms_per_sec_per_chip",
+                "value": round(specs_per_sec, 2),
+                "unit": "spectrograms/sec",
+                "vs_baseline": round(specs_per_sec / REFERENCE_SPECS_PER_SEC_EST, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

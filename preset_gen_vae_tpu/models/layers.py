@@ -70,7 +70,10 @@ class TorchConvTranspose2d(nn.Module):
             (dw * (kw - 1) - pw, dw * (kw - 1) - pw + opw),
         )
         dtype = self.dtype or x.dtype
-        acc_t = jnp.float32 if dtype in (jnp.bfloat16, jnp.float16, jnp.float32) else None
+        # NOTE: no explicit preferred_element_type — a widened (f32)
+        # accumulator output makes the conv VJP mix an f32 cotangent with a
+        # bf16 kernel and fails to trace. XLA:TPU already accumulates bf16
+        # convolutions in f32 inside the MXU.
         y = jax.lax.conv_general_dilated(
             x.astype(dtype),
             jnp.flip(kernel, axis=(0, 1)).astype(dtype),
@@ -79,7 +82,6 @@ class TorchConvTranspose2d(nn.Module):
             lhs_dilation=(sh, sw),
             rhs_dilation=(dh, dw),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=acc_t,
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))

@@ -1,0 +1,134 @@
+"""Python binding for the native DX7 render engine (csrc/libdx7.so).
+
+Role parity with the reference's ``Dexed`` VST wrapper
+(reference: synth/dexed.py:217-357): render one MIDI note of a 155-param
+normalized preset to float PCM — note-on for ``note_duration[0]`` seconds,
+total length ``note_duration[0] + note_duration[1]``, 0.1 s fadeout
+(reference render contract: synth/dexed.py:247-259) — plus the preset
+constraint mutators, which live in ``dexed_params`` as vectorized numpy ops.
+
+Batch rendering fans out over a C++ thread pool (replacement for the
+reference's one-process-per-render multiprocessing.Pool,
+dexeddataset.py:278-298) — no fork, no pickling, no per-render VST reload.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import dexed_params as dx
+
+_LIB_PATHS = [
+    pathlib.Path(__file__).resolve().parents[2] / "csrc" / "libdx7.so",
+]
+
+
+def _load_lib() -> Optional[ctypes.CDLL]:
+    for p in _LIB_PATHS:
+        if p.exists():
+            lib = ctypes.CDLL(str(p))
+            lib.dx7_render.restype = ctypes.c_int
+            lib.dx7_render.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.c_float, ctypes.c_float, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.dx7_render_batch.restype = ctypes.c_int
+            lib.dx7_render_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.c_float, ctypes.c_float, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ]
+            lib.dx7_engine_version.restype = ctypes.c_int
+            return lib
+    return None
+
+
+_lib = _load_lib()
+
+
+def engine_available() -> bool:
+    return _lib is not None
+
+
+def engine_version() -> int:
+    return int(_lib.dx7_engine_version()) if _lib else -1
+
+
+class DexedRenderer:
+    """Deterministic offline renderer (reference API surface:
+    synth/dexed.py:217-296)."""
+
+    def __init__(
+        self,
+        sample_rate: int = 22050,
+        note_duration: Tuple[float, float] = (3.0, 1.0),
+    ):
+        if _lib is None:
+            raise RuntimeError(
+                "libdx7.so not built — run `make -C csrc` first"
+            )
+        self.Fs = int(sample_rate)
+        self.note_duration = tuple(note_duration)
+
+    @property
+    def total_seconds(self) -> float:
+        return self.note_duration[0] + self.note_duration[1]
+
+    @property
+    def samples_per_render(self) -> int:
+        return int(self.total_seconds * self.Fs)
+
+    def render_note(
+        self, preset: np.ndarray, midi_pitch: int, midi_velocity: int
+    ) -> np.ndarray:
+        """(155,) normalized preset -> (samples,) float32 waveform."""
+        preset = np.ascontiguousarray(preset, dtype=np.float32)
+        assert preset.shape == (dx.N_PARAMS,)
+        out = np.zeros((self.samples_per_render,), dtype=np.float32)
+        n = _lib.dx7_render(
+            preset.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            int(midi_pitch), int(midi_velocity),
+            ctypes.c_float(self.note_duration[0]),
+            ctypes.c_float(self.total_seconds),
+            self.Fs,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if n < 0:
+            raise RuntimeError("dx7_render failed")
+        return out
+
+    def render_batch(
+        self,
+        presets: np.ndarray,
+        midi_pitches: Sequence[int],
+        midi_velocities: Sequence[int],
+        n_threads: int = 0,
+    ) -> np.ndarray:
+        """(N, 155) presets -> (N, samples) float32 waveforms, rendered by a
+        C++ thread pool (0 threads = all cores)."""
+        presets = np.ascontiguousarray(presets, dtype=np.float32)
+        n = presets.shape[0]
+        assert presets.shape == (n, dx.N_PARAMS)
+        pitches = np.ascontiguousarray(midi_pitches, dtype=np.int32)
+        vels = np.ascontiguousarray(midi_velocities, dtype=np.int32)
+        assert pitches.shape == (n,) and vels.shape == (n,)
+        out = np.zeros((n, self.samples_per_render), dtype=np.float32)
+        res = _lib.dx7_render_batch(
+            presets.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+            pitches.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            vels.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            ctypes.c_float(self.note_duration[0]),
+            ctypes.c_float(self.total_seconds),
+            self.Fs,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            int(n_threads),
+        )
+        if res < 0:
+            raise RuntimeError("dx7_render_batch failed")
+        return out

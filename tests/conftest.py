@@ -4,20 +4,21 @@ for JAX multi-host testing: --xla_force_host_platform_device_count)."""
 
 import os
 
-# Must be set before jax is imported anywhere. Forced (not setdefault): the
+# Must be set before jax initializes a backend. Forced (not setdefault): the
 # surrounding environment may point JAX at a TPU platform, but unit tests
-# must run on the virtual CPU mesh.
+# must run on the virtual CPU mesh. NOTE: on this image a site hook
+# (/root/.axon_site) imports jax before any test code runs, so env vars are
+# too late — use jax.config.update, which works post-import as long as no
+# backend has been initialized yet.
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax
 import numpy as np
 import pytest
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compile cache: jit compiles on this 1-core box are expensive
 # (up to ~1 min); cache them across pytest processes.

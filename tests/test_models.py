@@ -123,13 +123,30 @@ def test_flow_vae_flow_regression_shapes(small_helper):
 
 
 def test_realnvp_inverse_consistency():
+    """The inverse is analytically exact; each inverse coupling step divides
+    by s, so at random init f32 rounding can amplify by orders of magnitude
+    through a 4-layer stack. Verify exactness in f64 (~1e-10) and only
+    boundedness in f32."""
     flow = F.LatentFlow(flow_arch="realnvp_4l32", features=16)
-    x = jnp.asarray(np.random.default_rng(0).standard_normal((8, 16)), jnp.float32)
-    variables = flow.init(jax.random.PRNGKey(0), x, train=False)
-    y, ld = flow.apply(variables, x, train=False, method=flow.forward)
+    x32 = jnp.asarray(np.random.default_rng(0).standard_normal((8, 16)), jnp.float32)
+    variables = flow.init(jax.random.PRNGKey(0), x32, train=False)
+    y, ld = flow.apply(variables, x32, train=False, method=flow.forward)
     x_rec, ld_inv = flow.apply(variables, y, train=False, method=flow.inverse)
-    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-3)
-    np.testing.assert_allclose(np.asarray(ld + ld_inv), 0.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x32), atol=0.5)
+    np.testing.assert_allclose(np.asarray(ld + ld_inv), 0.0, atol=0.1)
+    try:
+        jax.config.update("jax_enable_x64", True)
+        x64 = x32.astype(jnp.float64)
+        v64 = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float64) if a.dtype == jnp.float32 else a,
+            variables,
+        )
+        y, ld = flow.apply(v64, x64, train=False, method=flow.forward)
+        x_rec, ld_inv = flow.apply(v64, y, train=False, method=flow.inverse)
+        np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x64), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(ld + ld_inv), 0.0, atol=1e-8)
+    finally:
+        jax.config.update("jax_enable_x64", False)
 
 
 def test_regression_flow_bn_inverse_consistency_eval():

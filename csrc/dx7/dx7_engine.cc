@@ -270,7 +270,13 @@ extern "C" int dx7_render(const float* preset, int midi_pitch, int midi_vel,
                           float note_on_s, float total_s, int sample_rate,
                           float* out) {
   if (!preset || !out || sample_rate <= 0 || total_s <= 0.0f) return -1;
-  const int n_samples = (int)(total_s * sample_rate);
+  // Render length rounds UP to the 512-sample engine block, reproducing the
+  // reference's audio length (RenderMan renders whole plugin buffers:
+  // 4.0 s @ 22.05 kHz -> 88576 samples -> 347 STFT frames, the documented
+  // spectrogram width; reference config.py:45-46, synth/dexed.py:234).
+  const int kEngineBlock = 512;
+  const int n_samples =
+      ((int)(total_s * sample_rate) + kEngineBlock - 1) / kEngineBlock * kEngineBlock;
   const int note_off_sample = (int)(note_on_s * sample_rate);
   const float fs = (float)sample_rate;
   const float tick_s = (float)kBlock / fs;
@@ -433,7 +439,9 @@ extern "C" int dx7_render_batch(const float* presets, int n, const int* pitches,
                                 float total_s, int sample_rate, float* out,
                                 int n_threads) {
   if (!presets || !out || n <= 0) return -1;
-  const int len = (int)(total_s * sample_rate);
+  const int kEngineBlock = 512;
+  const int len =
+      ((int)(total_s * sample_rate) + kEngineBlock - 1) / kEngineBlock * kEngineBlock;
   if (n_threads <= 0)
     n_threads = (int)std::thread::hardware_concurrency();
   n_threads = std::max(1, std::min(n_threads, n));

@@ -1,0 +1,264 @@
+"""Preset dataset abstraction.
+
+Role of the reference's ``PresetDataset`` torch Dataset ABC
+(reference: data/abstractbasedataset.py:25-409) redesigned TPU-first:
+
+- item = (spectrogram stack, learnable params, [UID, pitch, vel], labels) —
+  same contract as reference ``__getitem__`` (abstractbasedataset.py:101-145);
+- but the primary access path is the **whole-corpus tensor**: audio is
+  rendered in native-threaded batches, spectrograms are computed *on device*
+  in batched jit calls (the reference computes per-item torch.stft inside
+  DataLoader worker processes), and the normalized corpus is cached as a
+  memmap so subsequent runs map it straight into the input pipeline;
+- normalization statistics are one device reduction instead of the
+  reference's ~3-minute CPU pass (dexeddataset.py:341);
+- multi-note handling: stacked channels vs. dataset-size multiplication
+  (abstractbasedataset.py:95-119).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.spectrogram import SpectrogramConfig, SpectrogramProcessor
+from .preset import PresetIndexesHelper
+
+
+def default_data_root() -> pathlib.Path:
+    import os
+
+    return pathlib.Path(
+        os.environ.get("PGV_TPU_DATA_DIR", "/root/repo/data_cache")
+    )
+
+
+class PresetDataset:
+    """Base class; subclasses provide presets + audio rendering."""
+
+    def __init__(
+        self,
+        note_duration: Tuple[float, float] = (3.0, 1.0),
+        n_fft: int = 1024,
+        fft_hop: int = 256,
+        midi_notes: Tuple[Tuple[int, int], ...] = ((60, 85),),
+        multichannel_stacked_spectrograms: bool = False,
+        n_mel_bins: int = 257,
+        spectrogram_min_dB: float = -120.0,
+        spectrogram_normalization: Optional[str] = "min_max",
+        sample_rate: int = 22050,
+        data_root=None,
+    ):
+        self.note_duration = tuple(note_duration)
+        self.midi_notes = tuple(tuple(n) for n in midi_notes)
+        self._stacked = multichannel_stacked_spectrograms and len(self.midi_notes) > 1
+        self.n_mel_bins = n_mel_bins
+        self.spectrogram_normalization = spectrogram_normalization
+        self.sample_rate = int(sample_rate)
+        self.spectrogram = SpectrogramProcessor(
+            SpectrogramConfig(
+                n_fft=n_fft,
+                fft_hop=fft_hop,
+                min_dB=spectrogram_min_dB,
+                n_mel_bins=n_mel_bins,
+                sample_rate=sample_rate,
+            )
+        )
+        self.data_root = pathlib.Path(data_root) if data_root else default_data_root()
+        self._spec_cache: Optional[np.ndarray] = None  # (N_presets, n_notes, H, W)
+        self.spec_stats: Optional[Dict[str, float]] = None
+
+    # ------------------------------------------------------------------
+    # Abstract surface (subclass responsibilities)
+    # ------------------------------------------------------------------
+    @property
+    def synth_name(self) -> str:
+        raise NotImplementedError
+
+    @property
+    def total_nb_presets(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def valid_preset_UIDs(self) -> np.ndarray:
+        raise NotImplementedError
+
+    @property
+    def preset_indexes_helper(self) -> PresetIndexesHelper:
+        raise NotImplementedError
+
+    def get_full_preset_params(self, preset_UID: int) -> np.ndarray:
+        """(155,) normalized preset."""
+        raise NotImplementedError
+
+    def render_audio_batch(
+        self, presets: np.ndarray, midi_pitch: int, midi_velocity: int
+    ) -> np.ndarray:
+        """(N, 155) -> (N, samples)."""
+        raise NotImplementedError
+
+    def get_labels_tensor(self, preset_UID: int) -> np.ndarray:
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # Item addressing (reference: abstractbasedataset.py:95-119)
+    # ------------------------------------------------------------------
+    @property
+    def valid_presets_count(self) -> int:
+        return len(self.valid_preset_UIDs)
+
+    @property
+    def midi_notes_per_preset(self) -> int:
+        return len(self.midi_notes)
+
+    @property
+    def multichannel_stacked_spectrograms(self) -> bool:
+        return self._stacked
+
+    def __len__(self):
+        if self._stacked:
+            return self.valid_presets_count
+        return self.valid_presets_count * self.midi_notes_per_preset
+
+    def _demux(self, i: int) -> Tuple[int, List[int]]:
+        if self.midi_notes_per_preset > 1 and not self._stacked:
+            return i // self.midi_notes_per_preset, [i % self.midi_notes_per_preset]
+        return i, list(range(self.midi_notes_per_preset))
+
+    # ------------------------------------------------------------------
+    # Corpus-level spectrogram computation + normalization stats
+    # ------------------------------------------------------------------
+    @property
+    def samples_per_render(self) -> int:
+        # rounded up to the 512-sample render block (reference audio length
+        # comes from whole RenderMan buffers: 88576 samples -> 347 frames)
+        n = int(sum(self.note_duration) * self.sample_rate)
+        return (n + 511) // 512 * 512
+
+    def _corpus_cache_dir(self) -> pathlib.Path:
+        d = self.data_root / self.synth_name.lower() / self._corpus_tag()
+        d.mkdir(parents=True, exist_ok=True)
+        return d
+
+    def _corpus_tag(self) -> str:
+        """Subclasses refine; names the render/spectrogram cache."""
+        notes = "-".join(f"{p}.{v}" for p, v in self.midi_notes)
+        return (
+            f"sr{self.sample_rate}_nd{self.note_duration[0]}-{self.note_duration[1]}"
+            f"_mel{self.n_mel_bins}_n{self.valid_presets_count}_notes{notes}"
+        )
+
+    def _compute_spec_corpus(self, chunk: int = 64) -> np.ndarray:
+        """Renders + transforms the whole corpus, on device, chunked.
+        Returns raw (pre-normalization) log spectrograms
+        (N_presets, n_notes, H, W) float32."""
+        import jax
+        import jax.numpy as jnp
+
+        uids = self.valid_preset_UIDs
+        presets = np.stack([self.get_full_preset_params(u) for u in uids])
+        outs = []
+        spec_fn = jax.jit(self.spectrogram.__call__)
+        for note_i, (pitch, vel) in enumerate(self.midi_notes):
+            note_specs = []
+            for s in range(0, len(uids), chunk):
+                wav = self.render_audio_batch(
+                    presets[s : s + chunk], pitch, vel
+                )
+                note_specs.append(np.asarray(spec_fn(jnp.asarray(wav))))
+            outs.append(np.concatenate(note_specs, axis=0))
+        return np.stack(outs, axis=1)  # (N, n_notes, H, W)
+
+    def _compute_stats(self, specs: np.ndarray) -> Dict[str, float]:
+        """Corpus-level normalization stats (reference:
+        abstractbasedataset.py:348-391 computes per-preset CSV + corpus
+        JSON; the corpus-level values are what normalization consumes)."""
+        return {
+            "min": float(specs.min()),
+            "max": float(specs.max()),
+            "mean": float(specs.mean()),
+            "std": float(specs.std()),
+        }
+
+    def load_spectrogram_corpus(self, force_recompute: bool = False) -> np.ndarray:
+        """Memoized + memmap-cached normalized spectrogram corpus
+        (N_presets, n_notes, H, W) float32."""
+        if self._spec_cache is not None and not force_recompute:
+            return self._spec_cache
+        d = self._corpus_cache_dir()
+        spec_path = d / "specs_raw.npy"
+        stats_path = d / "spec_stats.json"
+        if spec_path.exists() and stats_path.exists() and not force_recompute:
+            raw = np.load(spec_path, mmap_mode="r")
+            with open(stats_path) as f:
+                self.spec_stats = json.load(f)
+        else:
+            raw = self._compute_spec_corpus()
+            self.spec_stats = self._compute_stats(raw)
+            np.save(spec_path, raw)
+            with open(stats_path, "w") as f:
+                json.dump(self.spec_stats, f)
+        self._spec_cache = self._normalize(np.asarray(raw))
+        return self._spec_cache
+
+    def _normalize(self, spec: np.ndarray) -> np.ndarray:
+        st = self.spec_stats
+        if self.spectrogram_normalization == "min_max":  # -> [-1, 1]
+            return (-1.0 + (spec - st["min"]) / ((st["max"] - st["min"]) / 2.0)).astype(
+                np.float32
+            )
+        if self.spectrogram_normalization == "mean_std":
+            return ((spec - st["mean"]) / st["std"]).astype(np.float32)
+        return spec.astype(np.float32)
+
+    # ------------------------------------------------------------------
+    # Reference-parity item access
+    # ------------------------------------------------------------------
+    def __getitem__(self, i: int):
+        preset_idx, note_idxs = self._demux(int(i))
+        uid = int(self.valid_preset_UIDs[preset_idx])
+        specs = self.load_spectrogram_corpus()[preset_idx, note_idxs]  # (C, H, W)
+        learnable = self.preset_indexes_helper.full_to_learnable_batch(
+            self.get_full_preset_params(uid)[None, :]
+        )[0]
+        ref_pitch, ref_vel = self.midi_notes[note_idxs[0] if len(note_idxs) == 1 else 0]
+        info = np.asarray([uid, ref_pitch, ref_vel], dtype=np.int32)
+        return specs, learnable, info, self.get_labels_tensor(uid)
+
+    def get_spectrogram_tensor_size(self) -> Tuple[int, int, int]:
+        c = self.midi_notes_per_preset if self._stacked else 1
+        H = self.n_mel_bins if self.n_mel_bins > 0 else self.spectrogram.n_fft // 2 + 1
+        T = 1 + self.samples_per_render // self.spectrogram.hop
+        return (c, H, T)
+
+    # ------------------------------------------------------------------
+    # Whole-corpus tensors for the TPU input pipeline
+    # ------------------------------------------------------------------
+    def corpus_tensors(self) -> Dict[str, np.ndarray]:
+        """All items as dense arrays: x (N_items, C, H, W), v (N_items, L),
+        info (N_items, 3). The input pipeline shuffles / shards / gathers
+        from these — no per-item Python on the hot path."""
+        specs = self.load_spectrogram_corpus()  # (P, n_notes, H, W)
+        uids = np.asarray(self.valid_preset_UIDs)
+        presets = np.stack([self.get_full_preset_params(u) for u in uids])
+        learnable = self.preset_indexes_helper.full_to_learnable_batch(presets)
+        P, n_notes = specs.shape[0], specs.shape[1]
+        if self._stacked or n_notes == 1:
+            x = specs if self._stacked else specs[:, :1]
+            p0, v0 = self.midi_notes[0]
+            info = np.stack(
+                [uids, np.full(P, p0), np.full(P, v0)], axis=1
+            ).astype(np.int32)
+            return {"x": x, "v": learnable.astype(np.float32), "info": info}
+        # un-stacked multi-note: items = presets x notes, note-major per preset
+        x = specs.reshape(P * n_notes, 1, specs.shape[2], specs.shape[3])
+        v = np.repeat(learnable, n_notes, axis=0).astype(np.float32)
+        pitches = np.tile(np.asarray([n[0] for n in self.midi_notes]), P)
+        vels = np.tile(np.asarray([n[1] for n in self.midi_notes]), P)
+        info = np.stack(
+            [np.repeat(uids, n_notes), pitches, vels], axis=1
+        ).astype(np.int32)
+        return {"x": x, "v": v, "info": info}

@@ -1,0 +1,222 @@
+"""Dexed dataset: presets + native-engine rendering + constraints.
+
+Concrete ``PresetDataset`` (role of reference ``DexedDataset``,
+data/dexeddataset.py:28-331): loads a preset corpus (SQLite DB or the
+deterministic synthetic generator), applies dataset constraints (constant
+filter/tune params, operator subsets, algorithm subsets, label restriction;
+reference: dexeddataset.py:79-109), assigns num/cat learnable models by
+cardinality threshold (dexeddataset.py:139-167 — via
+``build_dexed_preset_spec``), renders audio through the in-process C++
+engine thread pool (replacing the per-render VST reload + process pool,
+dexeddataset.py:243-298), and writes a render-constraints sidecar so stale
+caches are detected (dexeddataset.py:313-328 semantics, plus the engine
+version)."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..synth import database as db
+from ..synth import dexed_params as dx
+from ..synth.render import DexedRenderer, engine_available, engine_version
+from .abstract_dataset import PresetDataset
+from .dexed_spec import build_dexed_preset_spec
+from .preset import PresetIndexesHelper
+
+_LABEL_VOCAB = db.LABELS_VOCAB
+
+
+class DexedDataset(PresetDataset):
+    def __init__(
+        self,
+        note_duration=(3.0, 1.0),
+        n_fft: int = 1024,
+        fft_hop: int = 256,
+        midi_notes=((60, 85),),
+        multichannel_stacked_spectrograms: bool = False,
+        n_mel_bins: int = 257,
+        spectrogram_min_dB: float = -120.0,
+        spectrogram_normalization: Optional[str] = "min_max",
+        algos: Optional[Sequence[int]] = None,
+        operators: Optional[Sequence[int]] = None,
+        vst_params_learned_as_categorical: Optional[str] = "all<=32",
+        restrict_to_labels: Optional[Sequence[str]] = None,
+        constant_filter_and_tune_params: bool = True,
+        prevent_SH_LFO: bool = True,
+        sample_rate: int = 22050,
+        db_path=None,
+        n_synthetic_presets: int = 4096,
+        synthetic_seed: int = 0,
+        data_root=None,
+    ):
+        super().__init__(
+            note_duration=note_duration,
+            n_fft=n_fft,
+            fft_hop=fft_hop,
+            midi_notes=midi_notes,
+            multichannel_stacked_spectrograms=multichannel_stacked_spectrograms,
+            n_mel_bins=n_mel_bins,
+            spectrogram_min_dB=spectrogram_min_dB,
+            spectrogram_normalization=spectrogram_normalization,
+            sample_rate=sample_rate,
+            data_root=data_root,
+        )
+        self.algos = tuple(algos) if algos else None
+        self.operators = tuple(operators) if operators is not None else (1, 2, 3, 4, 5, 6)
+        self.restrict_to_labels = tuple(restrict_to_labels) if restrict_to_labels else None
+        self._synthetic = db_path is None
+        self._synthetic_args = (n_synthetic_presets, synthetic_seed)
+
+        # ---- corpus load (reference: dexeddataset.py:74-78)
+        if db_path is not None:
+            database = db.PresetDatabase(db_path)
+            presets = database.presets_matrix.copy()
+            names, labels = database.names, database.labels
+            self._param_names = database.param_names
+        else:
+            presets, names, labels = db.generate_random_corpus(
+                n_synthetic_presets, seed=synthetic_seed, algos=self.algos
+            )
+            self._param_names = [f"dexed_param_{i}" for i in range(dx.N_PARAMS)]
+
+        # ---- constraint application (reference: dexeddataset.py:79-109)
+        if constant_filter_and_tune_params:
+            dx.set_default_general_filter_and_tune_params(presets)
+        dx.set_operators(presets, self.operators)
+        if prevent_SH_LFO:
+            dx.prevent_SH_LFO(presets)
+        keep = np.ones((presets.shape[0],), dtype=bool)
+        if self.algos:
+            algo_of = np.rint(presets[:, dx.IDX_ALGORITHM] * 31.0).astype(int) + 1
+            keep &= np.isin(algo_of, np.asarray(self.algos))
+        if self.restrict_to_labels:
+            keep &= np.asarray(
+                [any(l in s for l in self.restrict_to_labels) for s in labels]
+            )
+        self._presets = presets[keep]
+        self._names = [n for n, k in zip(names, keep) if k]
+        self._labels = [l for l, k in zip(labels, keep) if k]
+        self._uids = np.nonzero(keep)[0].astype(np.int64)
+        self._uid_to_row = {int(u): i for i, u in enumerate(self._uids)}
+
+        # ---- learnable model spec (reference: dexeddataset.py:113-167)
+        self._spec = build_dexed_preset_spec(
+            algos=self.algos,
+            operators=self.operators,
+            vst_params_learned_as_categorical=vst_params_learned_as_categorical,
+            constant_filter_and_tune_params=constant_filter_and_tune_params,
+            param_names=self._param_names,
+        )
+        self._idx_helper = PresetIndexesHelper(self._spec)
+        self._renderer = (
+            DexedRenderer(sample_rate=sample_rate, note_duration=note_duration)
+            if engine_available()
+            else None
+        )
+        self._check_render_constraints()
+
+    # ------------------------------------------------------------------
+    @property
+    def synth_name(self) -> str:
+        return "Dexed"
+
+    @property
+    def total_nb_presets(self) -> int:
+        return len(self._uids)
+
+    @property
+    def valid_preset_UIDs(self) -> np.ndarray:
+        return self._uids
+
+    @property
+    def preset_indexes_helper(self) -> PresetIndexesHelper:
+        return self._idx_helper
+
+    @property
+    def learnable_params_count(self) -> int:
+        return sum(m is not None for m in self._spec.learnable_model)
+
+    @property
+    def learnable_params_tensor_length(self) -> int:
+        return self._idx_helper.learnable_preset_size
+
+    def get_full_preset_params(self, preset_UID: int) -> np.ndarray:
+        return self._presets[self._uid_to_row[int(preset_UID)]]
+
+    def get_name_from_preset_UID(self, preset_UID: int) -> str:
+        return self._names[self._uid_to_row[int(preset_UID)]]
+
+    def get_labels_tensor(self, preset_UID: int) -> np.ndarray:
+        s = self._labels[self._uid_to_row[int(preset_UID)]]
+        return np.asarray([1 if v in s else 0 for v in _LABEL_VOCAB], dtype=np.int8)
+
+    def render_audio_batch(
+        self, presets: np.ndarray, midi_pitch: int, midi_velocity: int
+    ) -> np.ndarray:
+        if self._renderer is None:
+            raise RuntimeError("native DX7 engine unavailable (make -C csrc)")
+        n = presets.shape[0]
+        return self._renderer.render_batch(
+            presets, [midi_pitch] * n, [midi_velocity] * n
+        )
+
+    def render_audio(
+        self, preset: np.ndarray, midi_pitch: int, midi_velocity: int
+    ) -> np.ndarray:
+        """Single render (reference: dexeddataset.py:243-249 — but no
+        engine reload: the C++ engine is stateless per call)."""
+        return self.render_audio_batch(preset[None, :], midi_pitch, midi_velocity)[0]
+
+    def get_wav_file(self, preset_UID: int, midi_pitch: int, midi_velocity: int):
+        """Reference-parity accessor (dexeddataset.py:270-276): renders (or
+        re-renders) the note; returns (waveform, sample_rate)."""
+        w = self.render_audio(
+            self.get_full_preset_params(preset_UID), midi_pitch, midi_velocity
+        )
+        return w, self.sample_rate
+
+    # ------------------------------------------------------------------
+    def _corpus_tag(self) -> str:
+        base = super()._corpus_tag()
+        al = ".".join(str(a) for a in self.algos) if self.algos else "all"
+        op = "".join(str(o) for o in self.operators)
+        lab = (
+            "_".join(l[:4] for l in self.restrict_to_labels)
+            if self.restrict_to_labels
+            else "all"
+        )
+        syn = (
+            f"syn{self._synthetic_args[0]}s{self._synthetic_args[1]}"
+            if self._synthetic
+            else "db"
+        )
+        return f"{base}_al{al}_op{op}_lab{lab}_{syn}"
+
+    def _check_render_constraints(self):
+        """Render-constraints consistency sidecar
+        (reference: dexeddataset.py:313-328)."""
+        d = self._corpus_cache_dir()
+        path = d / "render_constraints.json"
+        current = {
+            "engine_version": engine_version(),
+            "note_duration": list(self.note_duration),
+            "sample_rate": self.sample_rate,
+            "operators": list(self.operators),
+            "algos": list(self.algos) if self.algos else None,
+        }
+        if path.exists():
+            with open(path) as f:
+                stored = json.load(f)
+            if stored != current:
+                raise RuntimeError(
+                    f"Cached renders at {d} were produced under different "
+                    f"constraints ({stored} != {current}); delete the cache "
+                    "directory to re-render."
+                )
+        else:
+            with open(path, "w") as f:
+                json.dump(current, f)

@@ -1,0 +1,97 @@
+"""TPU input pipeline: whole-corpus tensors + per-epoch shuffled batches.
+
+Replaces the reference's DataLoader-worker stack (reference:
+data/build.py:43-79 — num_workers heuristics, persistent workers,
+per-item torch.stft in forked processes) with a zero-copy design: the
+normalized spectrogram corpus is one dense array; an epoch is a shuffled
+index array; a batch is a numpy gather handed to ``jax.device_put`` with
+the mesh's batch sharding (or, device-resident, a jnp gather inside jit).
+
+Determinism: epoch shuffles derive from ``numpy.default_rng(seed ^ epoch)``
+— reproducible across runs and resumable mid-training, unlike torch's
+global-RNG samplers.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from .sampler import build_subset_item_indexes
+
+
+class SplitLoader:
+    """Batches of (x, v, info) for one subset. ``drop_last`` mirrors the
+    reference's train-only drop_last (data/build.py:67)."""
+
+    def __init__(
+        self,
+        tensors: Dict[str, np.ndarray],
+        item_indexes: np.ndarray,
+        batch_size: int,
+        shuffle: bool,
+        drop_last: bool,
+        seed: int = 0,
+    ):
+        self.tensors = tensors
+        self.item_indexes = np.asarray(item_indexes)
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+
+    def __len__(self):
+        n = len(self.item_indexes)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    @property
+    def n_items(self) -> int:
+        return len(self.item_indexes)
+
+    def epoch_batches(
+        self, epoch: int = 0
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        idx = self.item_indexes
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed ^ (epoch + 0x9E3779B9))
+            idx = rng.permutation(idx)
+        n_batches = len(self)
+        for b in range(n_batches):
+            sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            yield (
+                self.tensors["x"][sel],
+                self.tensors["v"][sel],
+                self.tensors["info"][sel],
+            )
+
+
+def get_split_loaders(
+    dataset,
+    train_config,
+    k_fold: Optional[int] = None,
+) -> Dict[str, SplitLoader]:
+    """'train'/'validation'/'test' loaders (reference: data/build.py:43-79 +
+    sampler.py:17-59). Validation/test batches are full minibatch-sized too
+    (the reference evaluates at the train batch size, train.py:261-293)."""
+    tensors = dataset.corpus_tensors()
+    splits = build_subset_item_indexes(
+        dataset,
+        k_fold=train_config.current_k_fold if k_fold is None else k_fold,
+        k_folds_count=train_config.k_folds,
+        test_holdout_proportion=train_config.test_holdout_proportion,
+        random_seed=0,  # reference pins the split seed (sampler.py:36-38)
+    )
+    out = {}
+    for name, idx in splits.items():
+        out[name] = SplitLoader(
+            tensors,
+            idx,
+            batch_size=train_config.minibatch_size,
+            shuffle=(name == "train"),
+            drop_last=(name == "train"),
+            seed=getattr(train_config, "seed", 0),
+        )
+    return out

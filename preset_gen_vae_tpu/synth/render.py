@@ -82,7 +82,10 @@ class DexedRenderer:
 
     @property
     def samples_per_render(self) -> int:
-        return int(self.total_seconds * self.Fs)
+        # rounded up to the 512-sample engine block (matches the reference's
+        # RenderMan buffer behavior -> 347-frame spectrograms; config.py:45)
+        n = int(self.total_seconds * self.Fs)
+        return (n + 511) // 512 * 512
 
     def render_note(
         self, preset: np.ndarray, midi_pitch: int, midi_velocity: int

@@ -1,0 +1,172 @@
+"""Data layer tests: deterministic splits (disjointness, k-folds),
+database round-trip, dataset constraints, corpus tensors, pipeline batches.
+
+The split-disjointness test mirrors the reference's only real test
+(reference: data/sampler.py:62-100)."""
+
+import numpy as np
+import pytest
+
+from preset_gen_vae_tpu import config as cfg
+from preset_gen_vae_tpu.data.dexed_dataset import DexedDataset
+from preset_gen_vae_tpu.data.pipeline import get_split_loaders
+from preset_gen_vae_tpu.data.sampler import (
+    expand_to_item_indexes,
+    split_preset_indexes,
+)
+from preset_gen_vae_tpu.synth import database as db
+from preset_gen_vae_tpu.synth import dexed_params as dx
+from preset_gen_vae_tpu.synth.render import engine_available
+
+
+def test_split_disjoint_and_complete():
+    s = split_preset_indexes(1000, k_fold=2, k_folds_count=5)
+    all_idx = np.concatenate([s["train"], s["validation"], s["test"]])
+    assert len(np.unique(all_idx)) == 1000  # disjoint and complete
+    assert len(s["test"]) == 200  # 20% holdout
+    # k-fold rotation: validation sets of different folds are disjoint
+    v2 = split_preset_indexes(1000, k_fold=3, k_folds_count=5)["validation"]
+    assert len(np.intersect1d(s["validation"], v2)) == 0
+
+
+def test_split_deterministic():
+    a = split_preset_indexes(500, k_fold=0)
+    b = split_preset_indexes(500, k_fold=0)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_multinote_expansion_keeps_presets_together():
+    """Un-stacked multi-note items of one preset never straddle subsets
+    (the reference's core splitting invariant, sampler.py:46-55)."""
+    s = split_preset_indexes(100, k_fold=0)
+    items = {k: expand_to_item_indexes(v, 3, stacked=False) for k, v in s.items()}
+    for k, it in items.items():
+        presets = np.unique(it // 3)
+        np.testing.assert_array_equal(np.sort(presets), np.sort(s[k]))
+    all_items = np.concatenate(list(items.values()))
+    assert len(np.unique(all_items)) == 300
+
+
+def test_database_roundtrip(tmp_path):
+    presets, names, labels = db.generate_random_corpus(16, seed=3)
+    path = tmp_path / "t.sqlite"
+    db.create_database(path, presets, names, labels)
+    d = db.PresetDatabase(path)
+    assert d.nb_presets == 16 and d.nb_params == dx.N_PARAMS
+    np.testing.assert_allclose(d.presets_matrix, presets)
+    assert d.get_preset_name(3) == names[3]
+    assert d.get_preset_labels(5) == [labels[5]]
+
+
+def test_random_corpus_quantized_on_grid():
+    presets, _, _ = db.generate_random_corpus(64, seed=1)
+    card = dx.param_cardinalities()
+    for i in np.nonzero(card > 1)[0]:
+        c = int(card[i])
+        steps = presets[:, i] * (c - 1)
+        np.testing.assert_allclose(steps, np.rint(steps), atol=1e-5)
+
+
+needs_engine = pytest.mark.skipif(
+    not engine_available(), reason="libdx7.so not built"
+)
+
+
+@pytest.fixture(scope="module")
+def small_dataset(tmp_path_factory):
+    return DexedDataset(
+        n_synthetic_presets=24,
+        synthetic_seed=7,
+        data_root=tmp_path_factory.mktemp("data"),
+    )
+
+
+@needs_engine
+def test_dataset_geometry_and_item(small_dataset):
+    ds = small_dataset
+    assert ds.get_spectrogram_tensor_size() == (1, 257, 347)
+    assert ds.learnable_params_count == 144
+    assert ds.learnable_params_tensor_length == 610
+    spec, v, info, labels = ds[0]
+    assert spec.shape == (1, 257, 347)
+    assert v.shape == (610,)
+    assert info.tolist()[1:] == [60, 85]
+    assert labels.shape == (3,)
+
+
+@needs_engine
+def test_dataset_constraints_applied(small_dataset):
+    ds = small_dataset
+    for uid in ds.valid_preset_UIDs[:5]:
+        p = ds.get_full_preset_params(uid)
+        assert p[dx.IDX_CUTOFF] == 1.0 and p[dx.IDX_RESO] == 0.0
+        assert all(p[i] == 1.0 for i in dx.operator_switch_indexes())
+
+
+@needs_engine
+def test_algo_restriction():
+    ds = DexedDataset(
+        n_synthetic_presets=64, synthetic_seed=1, algos=(21,),
+        data_root="/tmp/pgv_test_algo21",
+    )
+    for uid in ds.valid_preset_UIDs:
+        p = ds.get_full_preset_params(uid)
+        assert int(np.rint(p[dx.IDX_ALGORITHM] * 31)) + 1 == 21
+    # single-algo datasets stop learning the algorithm param
+    # (reference: dexeddataset.py:101-102)
+    assert ds.preset_indexes_helper.spec.learnable_model[dx.IDX_ALGORITHM] is None
+
+
+@needs_engine
+def test_corpus_tensors_and_loaders(small_dataset):
+    ds = small_dataset
+    t = ds.corpus_tensors()
+    n = ds.valid_presets_count
+    assert t["x"].shape == (n, 1, 257, 347)
+    assert t["v"].shape == (n, 610)
+    assert t["x"].min() >= -1.0 and t["x"].max() <= 1.0  # min_max normalized
+    train_c = cfg.TrainConfig(minibatch_size=4)
+    loaders = get_split_loaders(ds, train_c)
+    xb, vb, ib = next(loaders["train"].epoch_batches(0))
+    assert xb.shape == (4, 1, 257, 347) and vb.shape == (4, 610)
+    # epoch shuffles deterministic and epoch-dependent
+    a = next(loaders["train"].epoch_batches(1))[2]
+    b = next(loaders["train"].epoch_batches(1))[2]
+    c = next(loaders["train"].epoch_batches(2))[2]
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+    # no train/valid/test leakage by UID
+    uids = {
+        k: set(
+            int(u)
+            for (_, _, i) in loaders[k].epoch_batches(0)
+            for u in i[:, 0]
+        )
+        for k in loaders
+    }
+    assert not (uids["train"] & uids["validation"])
+    assert not (uids["train"] & uids["test"])
+
+
+@needs_engine
+def test_spec_corpus_cache_roundtrip(tmp_path):
+    ds1 = DexedDataset(
+        n_synthetic_presets=8, synthetic_seed=2, data_root=tmp_path
+    )
+    x1 = ds1.corpus_tensors()["x"]
+    ds2 = DexedDataset(
+        n_synthetic_presets=8, synthetic_seed=2, data_root=tmp_path
+    )
+    x2 = ds2.corpus_tensors()["x"]  # loaded from cache
+    np.testing.assert_array_equal(x1, x2)
+    # render-constraints sidecar: a cache produced by a different engine
+    # version must be refused (reference analog: dexeddataset.py:319-328)
+    import json
+
+    sidecar = ds2._corpus_cache_dir() / "render_constraints.json"
+    stored = json.loads(sidecar.read_text())
+    stored["engine_version"] = -999
+    sidecar.write_text(json.dumps(stored))
+    with pytest.raises(RuntimeError):
+        DexedDataset(n_synthetic_presets=8, synthetic_seed=2, data_root=tmp_path)

@@ -39,7 +39,10 @@ def test_render_contract(renderer, rng):
     """4.0 s at 22.05 kHz, bounded output, 0.1 s fadeout to silence
     (reference contract: synth/dexed.py:247-259)."""
     w = renderer.render_note(_preset(rng), 60, 85)
-    assert w.shape == (88200,)
+    # 4.0 s rounded up to whole 512-sample engine blocks -> 88576 samples
+    # -> 347 STFT frames (reference spectrogram width, config.py:45-46)
+    assert w.shape == (88576,)
+    assert 1 + w.shape[0] // 256 == 347
     assert w.dtype == np.float32
     assert np.abs(w).max() <= 1.0
     assert np.abs(w[-5:]).max() < 1e-4  # fadeout

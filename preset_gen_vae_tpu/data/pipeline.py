@@ -33,6 +33,7 @@ class SplitLoader:
         shuffle: bool,
         drop_last: bool,
         seed: int = 0,
+        pad_to_full: bool = False,
     ):
         self.tensors = tensors
         self.item_indexes = np.asarray(item_indexes)
@@ -40,6 +41,11 @@ class SplitLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
+        # pad_to_full: cyclically pad the final partial batch to the full
+        # batch size. Keeps every compiled step at ONE static shape and
+        # mesh-divisible (XLA recompiles per shape; ragged final batches
+        # would also break the data-axis sharding).
+        self.pad_to_full = pad_to_full
 
     def __len__(self):
         n = len(self.item_indexes)
@@ -61,6 +67,9 @@ class SplitLoader:
         n_batches = len(self)
         for b in range(n_batches):
             sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            if self.pad_to_full and len(sel) < self.batch_size:
+                extra = np.resize(idx, self.batch_size - len(sel))
+                sel = np.concatenate([sel, extra])
             yield (
                 self.tensors["x"][sel],
                 self.tensors["v"][sel],
@@ -93,5 +102,6 @@ def get_split_loaders(
             shuffle=(name == "train"),
             drop_last=(name == "train"),
             seed=getattr(train_config, "seed", 0),
+            pad_to_full=(name != "train"),
         )
     return out

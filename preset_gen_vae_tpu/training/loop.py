@@ -1,0 +1,266 @@
+"""Full training orchestration — the reference ``train_config()`` flow
+(reference: train.py:37-342) rebuilt around one jitted SPMD step.
+
+Epoch structure, loss wiring, warmup/plateau scheduling, early stop, NaN
+divergence detection, TensorBoard logging and checkpoint cadence all follow
+the reference semantics; the per-minibatch Python (DataParallel calls,
+backward, host-side monitoring losses) is replaced by the compiled
+train/eval steps from ``train_step.py`` running over a data mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as cfg
+from ..data import build as data_build
+from ..logs import metrics as logmetrics
+from ..logs.logger import RunLogger, load_checkpoint
+from ..models import build as mbuild
+from ..parallel import make_mesh, replicated_sharding, shard_batch
+from ..utils.exception import ModelConvergenceError, check_nan_values
+from ..utils.hparams import LinearDynamicParam
+from .schedulers import ReduceLROnPlateau
+from .train_step import (
+    TrainState,
+    create_train_state,
+    get_learning_rate,
+    make_eval_step,
+    make_train_step,
+    set_learning_rate,
+)
+
+TRAIN_SCALARS = (
+    "ReconsLoss/Backprop",
+    "ReconsLoss/MSE",
+    "Controls/BackpropLoss",
+    "Controls/QLoss",
+    "Controls/Accuracy",
+    "LatLoss",
+)
+
+
+def train_config(
+    model_config: Optional[cfg.ModelConfig] = None,
+    train_config_: Optional[cfg.TrainConfig] = None,
+    dataset=None,
+    dataset_kwargs: Optional[Dict] = None,
+    use_tensorboard: bool = True,
+) -> Dict:
+    """Trains one run to completion; returns a summary dict of final
+    metrics (reference entry point: train.py:37)."""
+    model_c = model_config or cfg.ModelConfig()
+    train_c = train_config_ or cfg.TrainConfig()
+    model_c, train_c = cfg.resolve(model_c, train_c)
+
+    # ---- dataset + loaders (train.py:48-52)
+    if dataset is None:
+        dataset = data_build.get_dataset(model_c, train_c, **(dataset_kwargs or {}))
+    model_c, train_c = cfg.resolve_with_dataset(model_c, train_c, dataset)
+    model_c = dataclasses.replace(
+        model_c,
+        input_tensor_size=(
+            train_c.minibatch_size,
+            model_c.input_tensor_size[1],
+            *dataset.get_spectrogram_tensor_size()[1:],
+        ),
+        spectrogram_size=dataset.get_spectrogram_tensor_size()[1:],
+    )
+    loaders = data_build.get_split_dataloaders(train_c, dataset)
+    idx_helper = dataset.preset_indexes_helper
+
+    # ---- resume consistency (train.py:56-62, model/build.py:90-122)
+    start_checkpoint = None
+    if train_c.start_epoch > 0:
+        from ..logs.logger import get_run_dir
+        import json
+
+        with open(get_run_dir(model_c) / "config.json") as f:
+            prev = json.load(f)
+        cfg.check_configs_on_resume_from_checkpoint(model_c, train_c, prev)
+        start_checkpoint = load_checkpoint(model_c, train_c.start_epoch - 1)
+
+    logger = RunLogger(
+        model_c, train_c,
+        restart_from_checkpoint=(start_checkpoint is not None),
+        use_tensorboard=use_tensorboard,
+    )
+
+    # ---- model + state (train.py:66-76)
+    _, _, _, ext = mbuild.build_extended_ae_model(model_c, train_c, idx_helper)
+    variables = mbuild.init_extended_ae(
+        ext, train_c.seed, model_c.input_tensor_size
+    )
+    state = create_train_state(ext, variables, train_c)
+    scheduler = ReduceLROnPlateau(
+        train_c.initial_learning_rate,
+        factor=train_c.scheduler_lr_factor,
+        patience=train_c.scheduler_patience,
+        cooldown=train_c.scheduler_cooldown,
+        threshold=train_c.scheduler_threshold,
+    )
+    if start_checkpoint is not None:
+        tree = start_checkpoint["state_tree"]
+        state = state.replace(
+            params=tree["params"],
+            batch_stats=tree["batch_stats"],
+            opt_state=jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(state.opt_state),
+                jax.tree_util.tree_leaves(tree["opt_state"]),
+            ),
+            step=jnp.asarray(tree["step"], dtype=jnp.int32),
+        )
+        scheduler.load_state_dict(start_checkpoint["scheduler"])
+
+    # ---- mesh + sharded, jitted steps (replaces DataParallel, train.py:77-97)
+    mesh = make_mesh(train_c.data_parallel_devices)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    train_step = jax.jit(
+        make_train_step(ext, model_c, train_c, idx_helper), donate_argnums=(0,)
+    )
+    eval_step = jax.jit(make_eval_step(ext, model_c, train_c, idx_helper))
+
+    # ---- scalars / metrics (train.py:131-160)
+    scalars: Dict[str, object] = {}
+    for name in TRAIN_SCALARS:
+        scalars[name + "/Train"] = logmetrics.EpochMetric()
+        scalars[name + "/Valid"] = logmetrics.EpochMetric()
+    scalars["LatCorr/Train"] = logmetrics.LatentMetric(model_c.dim_z)
+    scalars["LatCorr/Valid"] = logmetrics.LatentMetric(model_c.dim_z)
+    scalars["Sched/LR"] = logmetrics.SimpleMetric(train_c.initial_learning_rate)
+    lr_warmup = LinearDynamicParam(
+        train_c.lr_warmup_start_factor, 1.0,
+        end_epoch=train_c.lr_warmup_epochs,
+        current_epoch=train_c.start_epoch,
+    )
+    beta_warmup = LinearDynamicParam(
+        train_c.beta_start_value, train_c.beta,
+        end_epoch=train_c.beta_warmup_epochs,
+        current_epoch=train_c.start_epoch,
+    )
+    metrics = {
+        "ReconsLoss/MSE/Valid_": logmetrics.BufferedMetric(),
+        "LatLoss/Valid_": logmetrics.BufferedMetric(),
+        "LatCorr/Valid_": logmetrics.BufferedMetric(),
+        "Controls/QLoss/Valid_": logmetrics.BufferedMetric(),
+        "Controls/Accuracy/Valid_": logmetrics.BufferedMetric(),
+        "epochs": train_c.start_epoch,
+    }
+    if logger.tensorboard is not None:
+        logger.tensorboard.init_hparams_and_metrics(metrics)
+
+    rng_key = jax.random.PRNGKey(train_c.seed)
+    profiling = bool(train_c.profiler_args.get("enabled", False))
+    early_stop = False
+    epoch = train_c.start_epoch
+
+    for epoch in range(train_c.start_epoch, train_c.n_epochs):
+        for s in scalars.values():
+            s.on_new_epoch()
+        # ---- LR warmup override (train.py:195-197)
+        if epoch <= train_c.lr_warmup_epochs:
+            lr = lr_warmup.get(epoch) * train_c.initial_learning_rate
+            scheduler.lr = lr
+        else:
+            lr = scheduler.lr
+        state = set_learning_rate(state, lr)
+        beta = float(beta_warmup.get(epoch))
+
+        if profiling and epoch == train_c.start_epoch:
+            jax.profiler.start_trace(str(logger.run_dir / "profile"))
+
+        # ---- train minibatches (train.py:201-252)
+        for i, (x, v, info) in enumerate(loaders["train"].epoch_batches(epoch)):
+            xb, vb, ib = shard_batch(mesh, (x, v, info))
+            state, m = train_step(state, xb, vb, ib, rng_key, jnp.float32(beta))
+            for name in TRAIN_SCALARS:
+                scalars[name + "/Train"].append(m[name])
+            scalars["LatCorr/Train"].append(m["z0_mu"], m["z0"])
+            check_nan_values(
+                epoch, m["ReconsLoss/Backprop"], m["LatLoss"],
+                m["FlowInputReg"], m["Controls/BackpropLoss"],
+            )
+            logger.on_minibatch_finished(i)
+            if profiling and train_c.profiler_full_trace and i == 2:
+                break
+        if profiling and epoch == train_c.start_epoch:
+            jax.profiler.stop_trace()
+            logger.save_profiler_results(str(logger.run_dir / "profile"))
+            if train_c.profiler_full_trace:
+                break
+
+        scalars["VAELoss/Train"] = logmetrics.SimpleMetric(
+            scalars["ReconsLoss/Backprop/Train"].get()
+            + scalars["LatLoss/Train"].get()
+        )
+
+        # ---- validation (train.py:261-293)
+        for x, v, info in loaders["validation"].epoch_batches(epoch):
+            xb, vb, ib = shard_batch(mesh, (x, v, info))
+            m = eval_step(state, xb, vb, ib)
+            for name in TRAIN_SCALARS:
+                scalars[name + "/Valid"].append(m[name])
+            scalars["LatCorr/Valid"].append(m["z0_mu"], m["z0"])
+        scalars["VAELoss/Valid"] = logmetrics.SimpleMetric(
+            scalars["ReconsLoss/Backprop/Valid"].get()
+            + scalars["LatLoss/Valid"].get()
+        )
+
+        # ---- plateau scheduler + early stop (train.py:296-299)
+        if epoch > train_c.lr_warmup_epochs:
+            sched_loss = sum(
+                scalars[f"{n}/Valid"].get() for n in train_c.scheduler_loss
+            )
+            scheduler.step(sched_loss)
+            state = set_learning_rate(state, scheduler.lr)
+        scalars["Sched/LR"] = logmetrics.SimpleMetric(get_learning_rate(state))
+        early_stop = get_learning_rate(state) < train_c.early_stop_lr_threshold
+
+        # ---- TB scalars + metrics (train.py:303-320)
+        if logger.tensorboard is not None:
+            for k, s in scalars.items():
+                try:
+                    logger.tensorboard.add_scalar(k, s.get(), epoch)
+                except ValueError:
+                    pass
+            metrics["epochs"] = epoch + 1
+            for k_m, k_s in (
+                ("ReconsLoss/MSE/Valid_", "ReconsLoss/MSE/Valid"),
+                ("LatLoss/Valid_", "LatLoss/Valid"),
+                ("LatCorr/Valid_", "LatCorr/Valid"),
+                ("Controls/QLoss/Valid_", "Controls/QLoss/Valid"),
+                ("Controls/Accuracy/Valid_", "Controls/Accuracy/Valid"),
+            ):
+                metrics[k_m].append(scalars[k_s].get())
+            logger.tensorboard.update_metrics(metrics)
+
+        # ---- checkpoints (train.py:323-325)
+        if (
+            (epoch > 0 and epoch % train_c.save_period == 0)
+            or epoch == train_c.n_epochs - 1
+            or early_stop
+        ):
+            logger.save_checkpoint(epoch, state, scheduler)
+        logger.on_epoch_finished(epoch)
+        if early_stop:
+            logger.log("Training stopped early (loss plateau)", level=1)
+            break
+
+    logger.on_training_finished()
+    summary = {
+        "epochs_trained": epoch + 1,
+        "early_stop": early_stop,
+        "final_lr": get_learning_rate(state),
+    }
+    for name in TRAIN_SCALARS:
+        try:
+            summary[name + "/Valid"] = scalars[name + "/Valid"].get()
+        except ValueError:
+            pass
+    return summary

@@ -1,0 +1,85 @@
+"""End-to-end training loop tests: a tiny full run (dataset -> loaders ->
+jitted SPMD steps -> scheduler -> checkpoints), then resume-from-checkpoint
+and queue NaN-retry semantics."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from preset_gen_vae_tpu import config as cfg
+from preset_gen_vae_tpu.data.dexed_dataset import DexedDataset
+from preset_gen_vae_tpu.logs.logger import list_checkpoint_epochs
+from preset_gen_vae_tpu.synth.render import engine_available
+from preset_gen_vae_tpu.training.loop import train_config
+from preset_gen_vae_tpu.training.queue import expand_k_folds
+
+pytestmark = pytest.mark.skipif(
+    not engine_available(), reason="libdx7.so not built"
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    return DexedDataset(
+        n_synthetic_presets=24,
+        synthetic_seed=11,
+        data_root=tmp_path_factory.mktemp("loopdata"),
+    )
+
+
+def _configs(tmp_path, run_name="t0", start_epoch=0, n_epochs=3):
+    model_c = cfg.ModelConfig(
+        name="TestVAE",
+        run_name=run_name,
+        latent_flow_arch=None,
+        params_regression_architecture="mlp_2l64",
+        dim_z=16,
+        logs_root_dir=str(tmp_path),
+    )
+    train_c = cfg.TrainConfig(
+        minibatch_size=8,
+        n_epochs=n_epochs,
+        start_epoch=start_epoch,
+        save_period=2,
+        lr_warmup_epochs=1,
+        beta_warmup_epochs=2,
+        compute_dtype="float32",
+        verbosity=0,
+    )
+    return model_c, train_c
+
+
+def test_tiny_training_run_and_resume(tiny_dataset, tmp_path):
+    model_c, train_c = _configs(tmp_path, n_epochs=3)
+    summary = train_config(
+        model_c, train_c, dataset=tiny_dataset, use_tensorboard=False
+    )
+    assert summary["epochs_trained"] == 3
+    assert np.isfinite(summary["ReconsLoss/Backprop/Valid"])
+    # checkpoints at epoch 2 (save_period) and 2 == n_epochs-1 (final)
+    epochs = list_checkpoint_epochs(model_c)
+    assert 2 in epochs
+    # ---- resume from epoch-2 checkpoint for 2 more epochs
+    model_c2, train_c2 = _configs(tmp_path, start_epoch=3, n_epochs=5)
+    summary2 = train_config(
+        model_c2, train_c2, dataset=tiny_dataset, use_tensorboard=False
+    )
+    assert summary2["epochs_trained"] == 5
+    assert 4 in list_checkpoint_epochs(model_c2)
+
+
+def test_resume_config_mismatch_raises(tiny_dataset, tmp_path):
+    model_c, train_c = _configs(tmp_path, run_name="t1", n_epochs=2)
+    train_config(model_c, train_c, dataset=tiny_dataset, use_tensorboard=False)
+    bad_model, bad_train = _configs(tmp_path, run_name="t1", start_epoch=2, n_epochs=3)
+    bad_model = dataclasses.replace(bad_model, dim_z=32)  # whitelist attr
+    with pytest.raises(ValueError):
+        train_config(bad_model, bad_train, dataset=tiny_dataset,
+                     use_tensorboard=False)
+
+
+def test_expand_k_folds():
+    mods = expand_k_folds([({"run_name": "r"}, {})], 3)
+    assert [m["run_name"] for m, _ in mods] == ["r_kf0", "r_kf1", "r_kf2"]
+    assert [t["current_k_fold"] for _, t in mods] == [0, 1, 2]

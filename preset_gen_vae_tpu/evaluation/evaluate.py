@@ -1,0 +1,222 @@
+"""Post-training evaluation pipeline (reference: eval.py:34-284).
+
+For each saved run: reload its frozen config, rebuild the dataset, restore
+the last checkpoint, infer synth presets over the chosen split, compute
+parameter metrics (full + MIDI-key-dependent subsets), latent Spearman
+correlation matrices, re-render audio from the inferred presets and score
+audio similarity — then write ``eval_<split>.dataframe.pickle`` and the
+``*_spearman_*.npy`` files into the run dir, exactly the reference's
+artifact layout (eval.py:227-243).
+
+TPU redesign: the reference infers with minibatch=1 and measures audio in
+a process pool (eval.py:161-199); here inference runs batched on device,
+audio renders through the native engine's thread pool, and all similarity
+metrics are one batched jit call per minibatch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from .. import config as cfg
+from ..data import build as data_build
+from ..data.pipeline import get_split_loaders
+from ..logs import metrics as logmetrics
+from ..logs.logger import get_run_dir, load_checkpoint
+from ..losses.synth_params import (
+    CategoricalParamsAccuracy,
+    QuantizedNumericalParamsLoss,
+)
+from ..models import build as mbuild
+from ..synth import dexed_params as dx
+from ..training.train_step import create_train_state
+from .similarity import batched_audio_errors
+
+
+def evaluate_all_models(eval_config: cfg.EvalConfig) -> List[pd.DataFrame]:
+    """(reference: eval.py:34-62) — iterates saved runs (+ k-fold
+    expansion) and evaluates those without existing eval files."""
+    out = []
+    for base_name in eval_config.models_names:
+        names = (
+            [f"{base_name}_kf{k}" for k in range(eval_config.k_folds_count)]
+            if eval_config.k_folds_count > 0
+            else [base_name]
+        )
+        for name in names:
+            model_name, run_name = name.split("/")
+            run_dir = pathlib.Path("saved") / model_name / run_name
+            if not run_dir.is_absolute():
+                run_dir = pathlib.Path("/root/repo") / run_dir
+            pickle_path = run_dir / f"eval_{eval_config.dataset}.dataframe.pickle"
+            if pickle_path.exists() and not eval_config.override_previous_eval:
+                continue
+            out.append(evaluate_model_from_dir(run_dir, eval_config))
+    return out
+
+
+def evaluate_model_from_dir(run_dir, eval_config: cfg.EvalConfig, dataset=None):
+    model_c, train_c = cfg.load_config(pathlib.Path(run_dir) / "config.json")
+    return evaluate_model(model_c, train_c, eval_config, dataset=dataset)
+
+
+def evaluate_model(
+    model_config: cfg.ModelConfig,
+    train_config: cfg.TrainConfig,
+    eval_config: cfg.EvalConfig,
+    dataset=None,
+    render_audio: bool = True,
+) -> pd.DataFrame:
+    """(reference: eval.py:65-243)"""
+    model_c, train_c = cfg.resolve(model_config, train_config)
+    if dataset is None:
+        dataset = data_build.get_dataset(model_c, train_c)
+    model_c, train_c = cfg.resolve_with_dataset(model_c, train_c, dataset)
+    model_c = dataclasses.replace(
+        model_c,
+        input_tensor_size=(
+            train_c.minibatch_size,
+            model_c.input_tensor_size[1],
+            *dataset.get_spectrogram_tensor_size()[1:],
+        ),
+    )
+    idx_helper = dataset.preset_indexes_helper
+    loaders = get_split_loaders(dataset, train_c)
+    loader = loaders[eval_config.dataset]
+
+    # ---- model + checkpoint (eval.py:112-117)
+    _, _, _, ext = mbuild.build_extended_ae_model(model_c, train_c, idx_helper)
+    ckpt = load_checkpoint(model_c, eval_config.epoch)
+    variables = mbuild.init_extended_ae(ext, 0, model_c.input_tensor_size)
+    state = create_train_state(ext, variables, train_c)
+    state = state.replace(
+        params=ckpt["state_tree"]["params"],
+        batch_stats=ckpt["state_tree"]["batch_stats"],
+    )
+
+    # ---- criteria (full + dynamic MIDI-key-dependent subset, eval.py:135-152)
+    dynamic_vst_idx = dx.midi_key_related_param_indexes()
+    num_mse = QuantizedNumericalParamsLoss(idx_helper, loss="mse")
+    num_mae = QuantizedNumericalParamsLoss(idx_helper, loss="mae")
+    num_mae_dyn = QuantizedNumericalParamsLoss(
+        idx_helper, loss="mae", limited_vst_params_indexes=dynamic_vst_idx
+    )
+    acc = CategoricalParamsAccuracy(idx_helper)
+    acc_dyn = CategoricalParamsAccuracy(
+        idx_helper, limited_vst_params_indexes=dynamic_vst_idx
+    )
+
+    @jax.jit
+    def infer(params, batch_stats, x, info):
+        vs = {"params": params, "batch_stats": batch_stats}
+        z0_mu_logvar, z0, zK, logdet, x_out, v_out = ext.apply(
+            vs, x, info, train=False, method=ext.forward_full
+        )
+        return z0_mu_logvar[:, 0, :], zK, v_out
+
+    lat_z0 = logmetrics.LatentMetric(model_c.dim_z)
+    lat_zK = logmetrics.LatentMetric(model_c.dim_z)
+    rows: Dict[str, List] = {
+        k: []
+        for k in (
+            "preset_UID", "midi_pitch", "midi_velocity", "num_eval_loss",
+            "num_mae", "num_mae_dyn", "acc", "acc_dyn",
+        )
+    }
+    v_out_all, v_in_all, info_all = [], [], []
+
+    for x, v, info in loader.epoch_batches(0):
+        n_valid = len(np.unique(info, axis=0)) if len(info) else 0
+        mu, zK, v_out = infer(state.params, state.batch_stats, jnp.asarray(x),
+                              jnp.asarray(info))
+        mu, zK = np.asarray(mu), np.asarray(zK)
+        v_out = np.asarray(v_out)
+        lat_z0.append(mu, mu)
+        lat_zK.append(zK, zK)
+        rows["preset_UID"] += list(info[:, 0])
+        rows["midi_pitch"] += list(info[:, 1])
+        rows["midi_velocity"] += list(info[:, 2])
+        rows["num_eval_loss"] += list(np.asarray(num_mse.per_item(v_out, v)))
+        rows["num_mae"] += list(np.asarray(num_mae.per_item(v_out, v)))
+        rows["num_mae_dyn"] += list(np.asarray(num_mae_dyn.per_item(v_out, v)))
+        rows["acc"] += list(np.asarray(acc.per_item(v_out, v)))
+        rows["acc_dyn"] += list(np.asarray(acc_dyn.per_item(v_out, v)))
+        v_out_all.append(v_out)
+        v_in_all.append(v)
+        info_all.append(info)
+        del n_valid
+
+    df = pd.DataFrame(rows)
+    # drop cyclic pad duplicates (pipeline pads the last batch)
+    df = df[~df.duplicated(["preset_UID", "midi_pitch", "midi_velocity"])]
+
+    # ---- audio re-render + similarity (eval.py:190-203, 254-275)
+    if render_audio:
+        keep = ~pd.DataFrame(
+            {
+                "u": np.concatenate([i[:, 0] for i in info_all]),
+                "p": np.concatenate([i[:, 1] for i in info_all]),
+                "v": np.concatenate([i[:, 2] for i in info_all]),
+            }
+        ).duplicated().to_numpy()
+        v_out_cat = np.concatenate(v_out_all)[keep]
+        info_cat = np.concatenate(info_all)[keep]
+        inferred_full = idx_helper.learnable_to_full_batch(v_out_cat)
+        audio_metrics = {k: [] for k in ("spec_mae", "spec_sc",
+                                         "mfcc13_mae", "mfcc40_mae")}
+        B = 32
+        for s in range(0, len(inferred_full), B):
+            fi = inferred_full[s : s + B]
+            ii = info_cat[s : s + B]
+            est, gt = [], []
+            for j in range(len(fi)):
+                uid, pitch, vel = (int(ii[j, 0]), int(ii[j, 1]), int(ii[j, 2]))
+                gt.append(dataset.render_audio(
+                    dataset.get_full_preset_params(uid), pitch, vel))
+                est.append(dataset.render_audio(fi[j], pitch, vel))
+            errs = batched_audio_errors(
+                jnp.asarray(np.stack(gt)), jnp.asarray(np.stack(est)),
+                model_c.stft_args[0], model_c.stft_args[1],
+                model_c.sampling_rate,
+            )
+            for k in audio_metrics:
+                audio_metrics[k] += list(np.asarray(errs[k]))
+        for k, vals in audio_metrics.items():
+            df[k] = vals
+
+    # ---- multi-note per-UID aggregation (eval.py:211-224)
+    df_agg = df.groupby("preset_UID", as_index=False).mean(numeric_only=True)
+
+    # ---- artifacts (eval.py:227-243)
+    run_dir = get_run_dir(model_c)
+    if run_dir.exists():
+        split = eval_config.dataset
+        df.to_pickle(run_dir / f"eval_{split}.dataframe.pickle")
+        np.save(run_dir / f"eval_{split}_z0_spearman_r.npy",
+                lat_z0.get_spearman_corr())
+        np.save(run_dir / f"eval_{split}_z0_spearman_p.npy",
+                lat_z0.get_spearman_pvalues())
+        np.save(run_dir / f"eval_{split}_zK_spearman_r.npy",
+                lat_zK.get_spearman_corr())
+        np.save(run_dir / f"eval_{split}_zK_spearman_p.npy",
+                lat_zK.get_spearman_pvalues())
+        with open(run_dir / f"eval_{split}_summary.json", "w") as f:
+            json.dump(
+                {
+                    **{k: float(df[k].mean()) for k in df.columns
+                       if k not in ("preset_UID", "midi_pitch", "midi_velocity")},
+                    "latent_entanglement_z0": lat_z0.get(),
+                    "latent_entanglement_zK": lat_zK.get(),
+                    "n_items": int(len(df)),
+                },
+                f, indent=2,
+            )
+    return df_agg

@@ -182,6 +182,40 @@ class QuantizedNumericalParamsLoss:
             return jnp.mean(jnp.square(err))
         return jnp.mean(jnp.abs(err))
 
+    def per_item(self, v_out: jnp.ndarray, v_in: jnp.ndarray) -> jnp.ndarray:
+        """(B,) per-item loss — used by the eval pipeline's dataframe
+        (reference computes these with minibatch=1, eval.py:161-176)."""
+        saved = self.loss
+        errs = []
+        if len(self.nn_learn_idx) > 0:
+            u_in = v_in[:, self.nn_learn_idx]
+            u_out = v_out[:, self.nn_learn_idx]
+            card = self.nn_card[None, :].astype(v_out.dtype)
+            quantize = (self.nn_card > 0)[None, :]
+            u_out_q = jnp.where(
+                quantize,
+                jnp.rint(u_out * (card - 1.0)) / jnp.maximum(card - 1.0, 1.0),
+                u_out,
+            )
+            errs.append((u_out_q - u_in) * self.nn_include[None, :].astype(v_out.dtype))
+        if len(self.nc_groups) > 0:
+            h = self.h
+            idx_m = h.cat_group_idx_matrix[self.nc_groups]
+            pad = h.cat_group_mask[self.nc_groups]
+            gi, go = _gather_groups(v_in, idx_m), _gather_groups(v_out, idx_m)
+            neg = jnp.asarray(-jnp.inf, dtype=v_in.dtype)
+            in_cls = jnp.argmax(jnp.where(pad[None], gi, neg), axis=-1)
+            out_cls = jnp.argmax(jnp.where(pad[None], go, neg), axis=-1)
+            denom = jnp.maximum(self.nc_card[None, :].astype(v_in.dtype) - 1.0, 1.0)
+            errs.append(
+                (out_cls - in_cls).astype(v_in.dtype) / denom
+                * self.nc_include[None, :].astype(v_in.dtype)
+            )
+        err = jnp.concatenate(errs, axis=1)
+        if saved == "mse":
+            return jnp.mean(jnp.square(err), axis=1)
+        return jnp.mean(jnp.abs(err), axis=1)
+
 
 class CategoricalParamsAccuracy:
     """Categorical params accuracy, averaged over params
@@ -238,6 +272,27 @@ class CategoricalParamsAccuracy:
         if not accs:
             return jnp.zeros((0,))
         return jnp.concatenate(accs)
+
+    def per_item(self, v_out, v_in) -> jnp.ndarray:
+        """(B,) per-item accuracy over all categorical params."""
+        h = self.h
+        oks = []
+        if len(self.cn_learn_idx) > 0:
+            card = self.cn_card[None, :].astype(v_in.dtype)
+            t = jnp.rint(v_in[:, self.cn_learn_idx] * (card - 1.0)).astype(jnp.int32)
+            o = jnp.rint(v_out[:, self.cn_learn_idx] * (card - 1.0)).astype(jnp.int32)
+            oks.append((t == o).astype(jnp.float32))
+        if len(self.cc_groups) > 0:
+            idx_m = h.cat_group_idx_matrix[self.cc_groups]
+            pad = h.cat_group_mask[self.cc_groups]
+            neg = jnp.asarray(-jnp.inf, dtype=v_in.dtype)
+            t = jnp.argmax(jnp.where(pad[None], _gather_groups(v_in, idx_m), neg), axis=-1)
+            o = jnp.argmax(jnp.where(pad[None], _gather_groups(v_out, idx_m), neg), axis=-1)
+            oks.append((t == o).astype(jnp.float32))
+        if not oks:
+            return jnp.zeros((v_in.shape[0],))
+        acc = jnp.mean(jnp.concatenate(oks, axis=1), axis=1)
+        return acc * 100.0 if self.percentage_output else acc
 
     def __call__(self, v_out, v_in):
         accs = self._per_param_accuracies(v_out, v_in)

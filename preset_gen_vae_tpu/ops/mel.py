@@ -42,11 +42,19 @@ def mel_frequencies(n_mels: int, fmin: float, fmax: float) -> np.ndarray:
 
 
 def mel_filterbank(
-    sr: int, n_fft: int, n_mels: int, fmin: float = 0.0, fmax: float | None = None
+    sr: int,
+    n_fft: int,
+    n_mels: int,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+    norm: str | None = None,
 ) -> np.ndarray:
-    """(n_mels, 1 + n_fft//2) triangular filterbank, norm=None (un-normalized
-    peak-1 triangles — required for linear/mel magnitude compatibility, see
-    reference comment utils/audio.py:86)."""
+    """(n_mels, 1 + n_fft//2) triangular filterbank.
+
+    norm=None: un-normalized peak-1 triangles — what the spectrogram
+    frontend uses for linear/mel magnitude compatibility (see reference
+    comment utils/audio.py:86). norm='slaney': area normalization
+    (2 / bandwidth), the librosa default used by its MFCC path."""
     if fmax is None:
         fmax = sr / 2.0
     n_bins = 1 + n_fft // 2
@@ -57,6 +65,9 @@ def mel_filterbank(
     lower = -ramps[:-2] / fdiff[:-1][:, None]
     upper = ramps[2:] / fdiff[1:][:, None]
     weights = np.maximum(0.0, np.minimum(lower, upper))
+    if norm == "slaney":
+        enorm = 2.0 / (mel_f[2 : n_mels + 2] - mel_f[:n_mels])
+        weights = weights * enorm[:, None]
     return weights.astype(np.float32)
 
 

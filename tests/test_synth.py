@@ -21,15 +21,25 @@ def renderer():
     return DexedRenderer(sample_rate=22050, note_duration=(3.0, 1.0))
 
 
-def _preset(rng, algo=None):
+def _preset(rng, algo=None, seed=None):
+    """Random-but-controlled preset: op1 is always promptly audible and the
+    pitch path (pitch EG) is neutral, so assertions are deterministic
+    regardless of the random draw."""
+    if seed is not None:
+        rng = np.random.default_rng(seed)
     p = rng.random((155,)).astype(np.float32)
     dx.set_default_general_filter_and_tune_params(p)
     dx.set_operators(p, [1, 2, 3, 4, 5, 6])
     dx.prevent_SH_LFO(p)
-    # full output level on op1 so there is always signal on any algorithm
+    # full output level + fast attack + full sustain on op1: always signal
     p[dx.op_param_index(1, dx.OFF_OUTPUT_LEVEL)] = 1.0
+    p[dx.op_param_index(1, dx.OFF_EG_RATES[0])] = 1.0
     p[dx.op_param_index(1, dx.OFF_EG_LEVELS[0])] = 1.0
     p[dx.op_param_index(1, dx.OFF_EG_LEVELS[2])] = 1.0
+    p[dx.op_param_index(1, dx.OFF_KEY_VELOCITY)] = 0.0
+    # neutral pitch EG (levels 50/99): random pitch envelopes would detune
+    # every operator by up to +/- 4 semitones
+    p[dx.IDX_PITCH_EG_FIRST + 4 : dx.IDX_PITCH_EG_FIRST + 8] = 50.0 / 99.0
     if algo is not None:
         p[dx.IDX_ALGORITHM] = (algo - 1) / 31.0
     return p

@@ -24,6 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: the flagship graph is large and first-compiles
+# in minutes; cached compiles take seconds
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REFERENCE_SPECS_PER_SEC_EST = 500.0
 
 

@@ -104,6 +104,32 @@ class RunLogger:
         self._epoch_durations = []
 
     # ------------------------------------------------------------------
+    def init_with_model(self, model, input_tensor_size, seed: int = 0) -> None:
+        """Writes a parameter-table summary of the model to the run dir and
+        to TensorBoard (reference: logger.py:155-172 — torchinfo summary +
+        TB graph)."""
+        try:
+            import jax.numpy as jnp
+            from flax import linen as nn
+
+            _, c, h, w = input_tensor_size
+            x = jnp.zeros((2, c, h, w), dtype=jnp.float32)
+            info = jnp.zeros((2, 3), dtype=jnp.int32)
+            table = nn.tabulate(
+                model,
+                jax.random.PRNGKey(seed),
+                rngs={"sampling": jax.random.PRNGKey(1),
+                      "dropout": jax.random.PRNGKey(2)},
+                depth=2,
+            )(x, info, train=True, method=model.forward_full)
+            with open(self.run_dir / "model_summary.txt", "w") as f:
+                f.write(table)
+            if self.tensorboard is not None:
+                self.tensorboard.add_text("ModelSummary",
+                                          f"```\n{table}\n```")
+        except Exception as e:  # summaries must never kill a run
+            self.log(f"model summary failed: {e}", level=1)
+
     def log(self, msg: str, level: int = 1):
         if self.verbosity >= level:
             print(f"[RunLogger] {msg}")

@@ -53,8 +53,9 @@ def _build_constants(config: SpectrogramConfig):
     return cos_m.astype(np.float32), sin_m.astype(np.float32), fb.astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def _pallas_logmel(x, config: SpectrogramConfig, tile_t: int, interpret: bool):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _pallas_logmel(x, config: SpectrogramConfig, tile_t: int, interpret: bool,
+                   precision: str = "exact"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -85,7 +86,13 @@ def _pallas_logmel(x, config: SpectrogramConfig, tile_t: int, interpret: bool):
         )  # (tile_t, n_fft)
         # full-f32 MXU passes: default matmul precision truncates inputs
         # to bf16, which is ~16 dB of error in the log-spectrogram domain
-        hi = jax.lax.Precision.HIGHEST
+        # near the floor; 'exact' = f32 (bf16_6x emulation, reference
+        # parity ~0.002 dB, ~1.1x the XLA path); 'fast' = native bf16 MXU
+        # (2.1x the XLA path, accurate above ~-60 dB — fine for training
+        # data, NOT for reference-parity evaluation). Mosaic supports only
+        # DEFAULT and HIGHEST.
+        hi = (jax.lax.Precision.HIGHEST if precision == "exact"
+              else jax.lax.Precision.DEFAULT)
         re = jnp.dot(frames, cos_ref[:, :], precision=hi,
                      preferred_element_type=jnp.float32)
         im = jnp.dot(frames, sin_ref[:, :], precision=hi,
@@ -125,10 +132,12 @@ class PallasSpectrogramProcessor:
     tests); on TPU hardware leave it False."""
 
     def __init__(self, config: SpectrogramConfig, tile_t: int = 128,
-                 interpret: bool = False):
+                 interpret: bool = False, precision: str = "exact"):
         self.config = config
         self.tile_t = tile_t
         self.interpret = interpret
+        self.precision = precision
 
     def __call__(self, x_wav: jnp.ndarray) -> jnp.ndarray:
-        return _pallas_logmel(x_wav, self.config, self.tile_t, self.interpret)
+        return _pallas_logmel(x_wav, self.config, self.tile_t, self.interpret,
+                              self.precision)

@@ -97,6 +97,8 @@ def train_config(
     variables = mbuild.init_extended_ae(
         ext, train_c.seed, model_c.input_tensor_size
     )
+    if train_c.verbosity >= 1:
+        logger.init_with_model(ext, model_c.input_tensor_size)
     state = create_train_state(ext, variables, train_c)
     scheduler = ReduceLROnPlateau(
         train_c.initial_learning_rate,
@@ -119,7 +121,17 @@ def train_config(
         scheduler.load_state_dict(start_checkpoint["scheduler"])
 
     # ---- mesh + sharded, jitted steps (replaces DataParallel, train.py:77-97)
-    mesh = make_mesh(train_c.data_parallel_devices)
+    # the data axis must divide the batch: use the largest device count that
+    # does (reference DataParallel silently handled any batch; under SPMD
+    # the split is explicit)
+    import math
+
+    n_avail = (
+        train_c.data_parallel_devices
+        if train_c.data_parallel_devices > 0
+        else len(jax.devices())
+    )
+    mesh = make_mesh(math.gcd(train_c.minibatch_size, n_avail))
     state = jax.device_put(state, replicated_sharding(mesh))
     train_step = jax.jit(
         make_train_step(ext, model_c, train_c, idx_helper), donate_argnums=(0,)

@@ -1,0 +1,72 @@
+"""Multi-note dataset + model paths (reference: config.py:35-37,155-158;
+abstractbasedataset.py:95-119; encoder.py:95-100; VAE.py:153-165):
+- stacked: N MIDI notes as spectrogram channels, shared per-channel CNN
+- un-stacked: dataset-size multiplication + MIDI pitch/vel concat to z0."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from preset_gen_vae_tpu import config as cfg
+from preset_gen_vae_tpu.data.dexed_dataset import DexedDataset
+from preset_gen_vae_tpu.synth.render import engine_available
+from preset_gen_vae_tpu.training.loop import train_config
+
+pytestmark = pytest.mark.skipif(
+    not engine_available(), reason="libdx7.so not built"
+)
+
+NOTES = ((40, 85), (50, 85), (60, 85))
+
+
+def test_stacked_multinote_run(tmp_path):
+    ds = DexedDataset(
+        n_synthetic_presets=16, synthetic_seed=3, midi_notes=NOTES,
+        multichannel_stacked_spectrograms=True, data_root=tmp_path / "d",
+    )
+    assert len(ds) == ds.valid_presets_count  # items = presets
+    assert ds.get_spectrogram_tensor_size() == (3, 257, 347)
+    t = ds.corpus_tensors()
+    assert t["x"].shape[1] == 3  # stacked channels
+    model_c = cfg.ModelConfig(
+        name="MnVAE", run_name="stacked", latent_flow_arch=None,
+        params_regression_architecture="mlp_2l64", dim_z=16,
+        midi_notes=NOTES, stack_spectrograms=True,
+        logs_root_dir=str(tmp_path / "saved"),
+    )
+    train_c = cfg.TrainConfig(
+        minibatch_size=4, n_epochs=1, lr_warmup_epochs=0,
+        compute_dtype="float32", verbosity=0,
+    )
+    summary = train_config(model_c, train_c, dataset=ds, use_tensorboard=False)
+    assert np.isfinite(summary["ReconsLoss/Backprop/Valid"])
+
+
+def test_unstacked_multinote_run(tmp_path):
+    ds = DexedDataset(
+        n_synthetic_presets=16, synthetic_seed=3, midi_notes=NOTES,
+        multichannel_stacked_spectrograms=False, data_root=tmp_path / "d",
+    )
+    assert len(ds) == ds.valid_presets_count * 3  # dataset-size increase
+    t = ds.corpus_tensors()
+    assert t["x"].shape == (len(ds), 1, 257, 347)
+    # each preset contributes 3 items with distinct pitches
+    uids = t["info"][:, 0]
+    pitches = t["info"][:, 1]
+    assert set(pitches[uids == uids[0]]) == {40, 50, 60}
+    model_c = cfg.ModelConfig(
+        name="MnVAE", run_name="unstacked",
+        latent_flow_arch="realnvp_2l32",
+        params_regression_architecture="mlp_2l64", dim_z=16,
+        midi_notes=NOTES, stack_spectrograms=False,
+        logs_root_dir=str(tmp_path / "saved"),
+    )
+    train_c = cfg.TrainConfig(
+        minibatch_size=4, n_epochs=1, lr_warmup_epochs=0,
+        compute_dtype="float32", verbosity=0,
+    )
+    model_r, train_r = cfg.resolve(model_c, train_c)
+    assert model_r.concat_midi_to_z and model_r.increased_dataset_size
+    summary = train_config(model_c, train_c, dataset=ds, use_tensorboard=False)
+    assert np.isfinite(summary["ReconsLoss/Backprop/Valid"])

@@ -57,9 +57,9 @@ class SplitLoader:
     def n_items(self) -> int:
         return len(self.item_indexes)
 
-    def epoch_batches(
-        self, epoch: int = 0
-    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    def epoch_index_batches(self, epoch: int = 0) -> Iterator[np.ndarray]:
+        """Index-only batches — the device-resident pipeline gathers the
+        actual tensors on device (zero host->device batch traffic)."""
         idx = self.item_indexes
         if self.shuffle:
             rng = np.random.default_rng(self.seed ^ (epoch + 0x9E3779B9))
@@ -70,6 +70,12 @@ class SplitLoader:
             if self.pad_to_full and len(sel) < self.batch_size:
                 extra = np.resize(idx, self.batch_size - len(sel))
                 sel = np.concatenate([sel, extra])
+            yield sel
+
+    def epoch_batches(
+        self, epoch: int = 0
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        for sel in self.epoch_index_batches(epoch):
             yield (
                 self.tensors["x"][sel],
                 self.tensors["v"][sel],

@@ -133,12 +133,55 @@ def train_config(
     )
     mesh = make_mesh(math.gcd(train_c.minibatch_size, n_avail))
     state = jax.device_put(state, replicated_sharding(mesh))
-    train_step = jax.jit(
-        make_train_step(ext, model_c, train_c, idx_helper), donate_argnums=(0,)
+    base_train_step = make_train_step(ext, model_c, train_c, idx_helper)
+    base_eval_step = make_eval_step(
+        ext, model_c, train_c, idx_helper, return_outputs=True
     )
-    eval_step = jax.jit(
-        make_eval_step(ext, model_c, train_c, idx_helper, return_outputs=True)
-    )
+
+    # ---- device-resident corpus (train_c.dataset_cache_device): the whole
+    # normalized spectrogram corpus lives in HBM (bf16 when training in
+    # bf16); a training batch is an on-device gather from an index vector —
+    # zero per-step host->device batch traffic (the reference paid a
+    # blocking .to(device) copy per minibatch, train.py:207).
+    device_resident = bool(getattr(train_c, "dataset_cache_device", True))
+    if device_resident:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        tensors = loaders["train"].tensors
+        x_dtype = (
+            jnp.bfloat16 if train_c.compute_dtype == "bfloat16" else jnp.float32
+        )
+        repl = replicated_sharding(mesh)
+        corpus = (
+            jax.device_put(jnp.asarray(tensors["x"], dtype=x_dtype), repl),
+            jax.device_put(jnp.asarray(tensors["v"]), repl),
+            jax.device_put(jnp.asarray(tensors["info"]), repl),
+        )
+        batch_spec = NamedSharding(mesh, P("data"))
+
+        def _gather(cx, cv, ci, idx):
+            x = jax.lax.with_sharding_constraint(
+                cx[idx].astype(jnp.float32), batch_spec
+            )
+            v = jax.lax.with_sharding_constraint(
+                cv[idx].astype(jnp.float32), batch_spec
+            )
+            info = jax.lax.with_sharding_constraint(ci[idx], batch_spec)
+            return x, v, info
+
+        def _train_gather(state, cx, cv, ci, idx, key, beta):
+            x, v, info = _gather(cx, cv, ci, idx)
+            return base_train_step(state, x, v, info, key, beta)
+
+        def _eval_gather(state, cx, cv, ci, idx):
+            x, v, info = _gather(cx, cv, ci, idx)
+            return base_eval_step(state, x, v, info), v
+
+        train_step = jax.jit(_train_gather, donate_argnums=(0,))
+        eval_step_g = jax.jit(_eval_gather)
+    else:
+        train_step = jax.jit(base_train_step, donate_argnums=(0,))
+    eval_step = jax.jit(base_eval_step)
 
     # ---- scalars / metrics (train.py:131-160)
     scalars: Dict[str, object] = {}
@@ -190,19 +233,49 @@ def train_config(
             jax.profiler.start_trace(str(logger.run_dir / "profile"))
 
         # ---- train minibatches (train.py:201-252)
-        for i, (x, v, info) in enumerate(loaders["train"].epoch_batches(epoch)):
-            xb, vb, ib = shard_batch(mesh, (x, v, info))
-            state, m = train_step(state, xb, vb, ib, rng_key, jnp.float32(beta))
-            for name in TRAIN_SCALARS:
-                scalars[name + "/Train"].append(m[name])
-            scalars["LatCorr/Train"].append(m["z0_mu"], m["z0"])
-            check_nan_values(
-                epoch, m["ReconsLoss/Backprop"], m["LatLoss"],
-                m["FlowInputReg"], m["Controls/BackpropLoss"],
-            )
+        # Dispatch is async: metric values are NOT fetched per step (that
+        # would sync host and device every minibatch); pending device
+        # metrics are flushed every FLUSH_EVERY steps, letting the host
+        # run ahead with the next batch's gather + device_put while the
+        # device executes. NaN divergence is detected at each flush
+        # (reference checked per minibatch, train.py:245).
+        FLUSH_EVERY = 16
+        pending = []
+
+        def _flush():
+            for m_dev in pending:
+                m_host = jax.device_get(m_dev)
+                for name in TRAIN_SCALARS:
+                    scalars[name + "/Train"].append(m_host[name])
+                scalars["LatCorr/Train"].append(m_host["z0_mu"], m_host["z0"])
+                check_nan_values(
+                    epoch, m_host["ReconsLoss/Backprop"], m_host["LatLoss"],
+                    m_host["FlowInputReg"], m_host["Controls/BackpropLoss"],
+                )
+            pending.clear()
+
+        for i, batch in enumerate(
+            loaders["train"].epoch_index_batches(epoch)
+            if device_resident
+            else loaders["train"].epoch_batches(epoch)
+        ):
+            if device_resident:
+                state, m = train_step(
+                    state, *corpus, jnp.asarray(batch), rng_key,
+                    jnp.float32(beta),
+                )
+            else:
+                xb, vb, ib = shard_batch(mesh, batch)
+                state, m = train_step(
+                    state, xb, vb, ib, rng_key, jnp.float32(beta)
+                )
+            pending.append(m)
+            if len(pending) >= FLUSH_EVERY:
+                _flush()
             logger.on_minibatch_finished(i)
             if profiling and train_c.profiler_full_trace and i == 2:
                 break
+        _flush()
         if profiling and epoch == train_c.start_epoch:
             jax.profiler.stop_trace()
             logger.save_profiler_results(str(logger.run_dir / "profile"))
@@ -219,15 +292,31 @@ def train_config(
             epoch % train_c.plot_period == 0 and logger.tensorboard is not None
         )
         v_errors, first_batch_plot = [], None
-        for i, (x, v, info) in enumerate(loaders["validation"].epoch_batches(epoch)):
-            xb, vb, ib = shard_batch(mesh, (x, v, info))
-            m = eval_step(state, xb, vb, ib)
+        if device_resident:
+            val_iter = enumerate(loaders["validation"].epoch_index_batches(epoch))
+        else:
+            val_iter = enumerate(loaders["validation"].epoch_batches(epoch))
+        for i, batch in val_iter:
+            if device_resident:
+                m, v = eval_step_g(state, *corpus, jnp.asarray(batch))
+                v = np.asarray(v)
+                x = info = None
+            else:
+                x, v, info = batch
+                xb, vb, ib = shard_batch(mesh, (x, v, info))
+                m = eval_step(state, xb, vb, ib)
             for name in TRAIN_SCALARS:
                 scalars[name + "/Valid"].append(m[name])
             scalars["LatCorr/Valid"].append(m["z0_mu"], m["z0"])
             if should_plot:
                 v_errors.append(np.asarray(m["v_out"]) - np.asarray(v))
                 if i == 0:
+                    if x is None:
+                        sel = loaders["validation"].tensors
+                        bsel = next(iter(
+                            loaders["validation"].epoch_index_batches(epoch)
+                        ))
+                        x, info = sel["x"][bsel], sel["info"][bsel]
                     first_batch_plot = (x, np.asarray(m["x_out"]), info)
         scalars["VAELoss/Valid"] = logmetrics.SimpleMetric(
             scalars["ReconsLoss/Backprop/Valid"].get()

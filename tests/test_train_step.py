@@ -62,11 +62,13 @@ def _fake_batch(helper, B, rng):
     return x, v, info
 
 
-def test_train_step_runs_and_learns(helper, rng):
+def test_train_step_runs_and_learns(helper):
     model_c, train_c, ext, variables = _small_setup(helper)
     state = create_train_state(ext, variables, train_c)
     step = jax.jit(make_train_step(ext, model_c, train_c, helper))
-    x, v, info = _fake_batch(helper, 8, rng)
+    # fixed-seed batch: the overfit assertion below must not depend on
+    # which tests consumed the shared session rng first
+    x, v, info = _fake_batch(helper, 8, np.random.default_rng(42))
     key = jax.random.PRNGKey(0)
     losses = []
     for _ in range(4):

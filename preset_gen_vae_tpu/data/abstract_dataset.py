@@ -158,16 +158,32 @@ class PresetDataset:
         import jax
         import jax.numpy as jnp
 
+        import os
+
         uids = self.valid_preset_UIDs
         presets = np.stack([self.get_full_preset_params(u) for u in uids])
         outs = []
-        # On TPU, the fused Pallas frame+DFT+|.|+mel+log kernel cuts the
-        # corpus pass's HBM traffic ~3x; elsewhere use the XLA path.
-        if jax.devices()[0].platform == "tpu":
+        # Where to run the spectrogram transform:
+        #   - On a TPU VM (accelerator local to the host), the fused Pallas
+        #     kernel is fastest — opt in with PGV_SPEC_ON_ACCELERATOR=1.
+        #   - Default: host CPU backend. The corpus pass round-trips the
+        #     whole spectrogram corpus device->host for the disk cache, and
+        #     on tunneled/remote-accelerator setups that readback is the
+        #     bottleneck (measured ~0.3-20 MB/s vs 210 MB/s host->device
+        #     here); host->device then pays only the one fast upload when
+        #     the training pipeline pins the corpus into HBM.
+        on_accel = (
+            os.environ.get("PGV_SPEC_ON_ACCELERATOR", "0") == "1"
+            and jax.devices()[0].platform == "tpu"
+        )
+        if on_accel:
             from ..ops.pallas_mel import PallasSpectrogramProcessor
 
             spec_fn = PallasSpectrogramProcessor(self.spectrogram.config)
+            device = jax.devices()[0]
         else:
+            device = jax.local_devices(backend="cpu")[0]
+            # jit outputs follow the (device_put) placement of the inputs
             spec_fn = jax.jit(self.spectrogram.__call__)
         for note_i, (pitch, vel) in enumerate(self.midi_notes):
             note_specs = []
@@ -175,7 +191,9 @@ class PresetDataset:
                 wav = self.render_audio_batch(
                     presets[s : s + chunk], pitch, vel
                 )
-                note_specs.append(np.asarray(spec_fn(jnp.asarray(wav))))
+                note_specs.append(
+                    np.asarray(spec_fn(jax.device_put(wav, device)))
+                )
             outs.append(np.concatenate(note_specs, axis=0))
         return np.stack(outs, axis=1)  # (N, n_notes, H, W)
 
@@ -189,6 +207,27 @@ class PresetDataset:
             "mean": float(specs.mean()),
             "std": float(specs.std()),
         }
+
+    def compute_and_store_spectrograms_stats(self) -> Dict[str, float]:
+        """Reference-parity stats pass (abstractbasedataset.py:348-391):
+        per-preset min/max/mean/var CSV + corpus-level JSON. The reference
+        took ~3 min of CPU for 30k presets; here the corpus pass is the
+        same device computation that builds the training tensors."""
+        raw = np.asarray(self._compute_spec_corpus())
+        self.spec_stats = self._compute_stats(raw)
+        d = self._corpus_cache_dir()
+        per = raw.reshape(raw.shape[0], -1)
+        import csv
+
+        with open(d / "spectrograms_stats.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["UID", "min", "max", "mean", "var"])
+            for uid, row in zip(self.valid_preset_UIDs, per):
+                w.writerow([int(uid), row.min(), row.max(), row.mean(), row.var()])
+        with open(d / "spec_stats.json", "w") as f:
+            json.dump(self.spec_stats, f)
+        np.save(d / "specs_raw.npy", raw)
+        return self.spec_stats
 
     def load_spectrogram_corpus(self, force_recompute: bool = False) -> np.ndarray:
         """Memoized + memmap-cached normalized spectrogram corpus

@@ -119,6 +119,8 @@ class LatentMetric:
     def _compute(self):
         if self._r is None:
             z = self.get_z("mu")
+            if z.shape[0] < 2:
+                raise ValueError("No latent samples accumulated this epoch")
             self._r, self._p = spearman_corr_matrix(z)
 
     def get_spearman_corr(self) -> np.ndarray:

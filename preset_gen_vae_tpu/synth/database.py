@@ -127,6 +127,21 @@ class PresetDatabase:
         s = self.labels[row]
         return [l for l in s.split(",") if l]
 
+    def write_all_presets_to_files(self, out_dir, verbose: bool = False) -> None:
+        """Reference-parity export (synth/dexed.py:159-190): one params
+        .npy + name .txt + labels .txt file per preset. The TPU pipeline
+        reads the dense matrix directly; this export exists for users
+        migrating tooling that consumed the reference's per-preset files."""
+        out_dir = pathlib.Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for i, uid in enumerate(self.preset_indexes):
+            np.save(out_dir / f"preset{int(uid):06d}_params.npy",
+                    self.presets_matrix[i])
+            (out_dir / f"preset{int(uid):06d}_name.txt").write_text(self.names[i])
+            (out_dir / f"preset{int(uid):06d}_labels.txt").write_text(self.labels[i])
+        if verbose:
+            print(f"[PresetDatabase] exported {len(self)} presets to {out_dir}")
+
 
 def generate_random_corpus(
     n_presets: int, seed: int = 0, algos: Optional[Sequence[int]] = None

@@ -241,13 +241,24 @@ def train_config(
         # (reference checked per minibatch, train.py:245).
         FLUSH_EVERY = 16
         pending = []
+        # train-split latent correlations are only *plotted* (train.py:213,
+        # figures every plot_period); skip their device->host fetch on
+        # non-plot epochs — on tunneled accelerators the readback would
+        # otherwise dominate the step time
+        collect_train_latents = (
+            epoch % train_c.plot_period == 0 and logger.tensorboard is not None
+        )
 
         def _flush():
             for m_dev in pending:
-                m_host = jax.device_get(m_dev)
+                m_host = jax.device_get(
+                    {k: v for k, v in m_dev.items() if k != "latents"}
+                )
                 for name in TRAIN_SCALARS:
                     scalars[name + "/Train"].append(m_host[name])
-                scalars["LatCorr/Train"].append(m_host["z0_mu"], m_host["z0"])
+                if collect_train_latents:
+                    lat = jax.device_get(m_dev["latents"])
+                    scalars["LatCorr/Train"].append(lat["z0_mu"], lat["z0"])
                 check_nan_values(
                     epoch, m_host["ReconsLoss/Backprop"], m_host["LatLoss"],
                     m_host["FlowInputReg"], m_host["Controls/BackpropLoss"],
@@ -307,7 +318,8 @@ def train_config(
                 m = eval_step(state, xb, vb, ib)
             for name in TRAIN_SCALARS:
                 scalars[name + "/Valid"].append(m[name])
-            scalars["LatCorr/Valid"].append(m["z0_mu"], m["z0"])
+            lat = m["latents"]
+            scalars["LatCorr/Valid"].append(lat["z0_mu"], lat["z0"])
             if should_plot:
                 v_errors.append(np.asarray(m["v_out"]) - np.asarray(v))
                 if i == 0:

@@ -279,9 +279,10 @@ def _metrics_from_aux(aux, x_in, v_in, criteria, train_config, total=None):
         ),
         "Controls/QLoss": criteria["qloss"](v_out, v_in),
         "Controls/Accuracy": criteria["accuracy"](v_out, v_in),
-        "z0_mu": z0_mu_logvar[:, 0, :],
-        "z0": z0,
-        "zK": zK,
+        # latents nested so the host can skip fetching these (B, dim_z)
+        # arrays when it only needs scalars (device->host bandwidth is the
+        # scarce resource on tunneled accelerators)
+        "latents": {"z0_mu": z0_mu_logvar[:, 0, :], "z0": z0, "zK": zK},
     }
     if total is not None:
         m["TotalLoss"] = jax.lax.stop_gradient(total)

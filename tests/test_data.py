@@ -170,3 +170,23 @@ def test_spec_corpus_cache_roundtrip(tmp_path):
     sidecar.write_text(json.dumps(stored))
     with pytest.raises(RuntimeError):
         DexedDataset(n_synthetic_presets=8, synthetic_seed=2, data_root=tmp_path)
+
+
+@needs_engine
+def test_stats_pass_and_db_export(tmp_path):
+    ds = DexedDataset(
+        n_synthetic_presets=6, synthetic_seed=9, data_root=tmp_path
+    )
+    stats = ds.compute_and_store_spectrograms_stats()
+    assert set(stats) == {"min", "max", "mean", "std"}
+    csv_path = ds._corpus_cache_dir() / "spectrograms_stats.csv"
+    assert csv_path.exists()
+    assert len(csv_path.read_text().strip().splitlines()) == 1 + 6  # header+rows
+    # per-preset file export (reference: synth/dexed.py:159-190)
+    presets, names, labels = db.generate_random_corpus(4, seed=2)
+    db.create_database(tmp_path / "e.sqlite", presets, names, labels)
+    d = db.PresetDatabase(tmp_path / "e.sqlite")
+    d.write_all_presets_to_files(tmp_path / "exported")
+    assert len(list((tmp_path / "exported").glob("*_params.npy"))) == 4
+    loaded = np.load(tmp_path / "exported" / "preset000002_params.npy")
+    np.testing.assert_allclose(loaded, presets[2])

@@ -78,7 +78,7 @@ def test_train_step_runs_and_learns(helper):
     assert losses[-1] < losses[0]  # same batch must overfit quickly
     assert int(state.step) == 4
     # metric shapes
-    assert metrics["z0_mu"].shape == (8, model_c.dim_z)
+    assert metrics["latents"]["z0_mu"].shape == (8, model_c.dim_z)
 
 
 def test_train_step_sharded_on_mesh(helper, rng):

@@ -59,6 +59,10 @@ def main():
     key = jax.random.PRNGKey(0)
     beta = jnp.float32(0.2)
 
+    # NOTE: a lax.scan multi-step variant was tried to hide host-dispatch
+    # jitter, but the scanned graph compiles prohibitively slowly through
+    # the remote compile helper; the dispatch loop below stays fully async
+    # (single block at the end), which is equivalent when the host is idle.
     step = jax.jit(make_train_step(ext, model_c, train_c, helper),
                    donate_argnums=(0,))
 

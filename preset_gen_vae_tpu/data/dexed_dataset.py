@@ -15,8 +15,7 @@ version)."""
 from __future__ import annotations
 
 import json
-import pathlib
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

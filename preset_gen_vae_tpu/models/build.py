@@ -5,7 +5,7 @@ inputs and RNG streams, which torch did implicitly)."""
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ permutations are static so the whole flow jit-compiles to fixed shapes.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

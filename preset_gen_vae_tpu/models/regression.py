@@ -9,8 +9,6 @@ a single fused XLA kernel regardless of the number of groups.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,6 @@ train/eval steps from ``train_step.py`` running over a data mesh.
 from __future__ import annotations
 
 import dataclasses
-import time
 from typing import Dict, Optional
 
 import jax
@@ -24,11 +23,10 @@ from ..logs import metrics as logmetrics
 from ..logs.logger import RunLogger, load_checkpoint
 from ..models import build as mbuild
 from ..parallel import make_mesh, replicated_sharding, shard_batch
-from ..utils.exception import ModelConvergenceError, check_nan_values
+from ..utils.exception import check_nan_values
 from ..utils.hparams import LinearDynamicParam
 from .schedulers import ReduceLROnPlateau
 from .train_step import (
-    TrainState,
     create_train_state,
     get_learning_rate,
     make_eval_step,

@@ -8,8 +8,6 @@ for styling, which changes nothing about the content)."""
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import matplotlib
 
 matplotlib.use("Agg")

@@ -127,6 +127,7 @@ class TrainConfig:
     data_parallel_devices: int = -1  # -1: all local devices
     compute_dtype: str = "bfloat16"  # matmul/conv compute dtype on TPU
     dataset_cache_device: bool = True  # keep the spectrogram corpus in HBM
+    remat: bool = False  # rematerialize the forward in backward (big batches)
     seed: int = 0
 
 

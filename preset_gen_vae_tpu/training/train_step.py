@@ -183,10 +183,9 @@ def make_train_step(
     )
     forward_controls = model_config.forward_controls_loss
 
-    def loss_fn(params, batch_stats, x_in, v_in, sample_info, rng_key, beta):
-        k_samp, k_drop = jax.random.split(rng_key)
+    def _forward(params, batch_stats, x_in, sample_info, k_samp, k_drop):
         variables = {"params": params, "batch_stats": batch_stats}
-        outs, mutated = model.apply(
+        return model.apply(
             variables,
             x_in,
             sample_info,
@@ -194,6 +193,18 @@ def make_train_step(
             method=model.forward_full,
             rngs={"sampling": k_samp, "dropout": k_drop},
             mutable=["batch_stats"],
+        )
+
+    if getattr(train_config, "remat", False):
+        # trade FLOPs for HBM: recompute the forward during backward
+        # (jax.checkpoint; enables much larger per-chip batches)
+        _forward = jax.checkpoint(_forward)
+
+    def loss_fn(params, batch_stats, x_in, v_in, sample_info, rng_key, beta):
+        k_samp, k_drop = jax.random.split(rng_key)
+        variables = {"params": params, "batch_stats": batch_stats}
+        outs, mutated = _forward(
+            params, batch_stats, x_in, sample_info, k_samp, k_drop
         )
         z0_mu_logvar, z0, zK, logdet, x_out, v_out = outs
 

@@ -134,3 +134,18 @@ def test_reduce_lr_on_plateau_semantics():
     s2 = ReduceLROnPlateau(1e-3)
     s2.load_state_dict(d)
     assert s2.lr == s.lr and s2.best == s.best
+
+
+def test_remat_matches_baseline(helper):
+    """jax.checkpoint rematerialization must not change the math."""
+    model_c, train_c, ext, variables = _small_setup(helper)
+    x, v, info = _fake_batch(helper, 8, np.random.default_rng(5))
+    key = jax.random.PRNGKey(1)
+    outs = []
+    for remat in (False, True):
+        tc = dataclasses.replace(train_c, remat=remat)
+        state = create_train_state(ext, variables, tc)
+        step = jax.jit(make_train_step(ext, model_c, tc, helper))
+        state, m = step(state, x, v, info, key, jnp.float32(0.2))
+        outs.append(float(m["TotalLoss"]))
+    assert outs[0] == pytest.approx(outs[1], rel=1e-5)

@@ -173,17 +173,19 @@ def evaluate_model(
         audio_metrics = {k: [] for k in ("spec_mae", "spec_sc",
                                          "mfcc13_mae", "mfcc40_mae")}
         B = 32
+        renderer = dataset._renderer
         for s in range(0, len(inferred_full), B):
             fi = inferred_full[s : s + B]
             ii = info_cat[s : s + B]
-            est, gt = [], []
-            for j in range(len(fi)):
-                uid, pitch, vel = (int(ii[j, 0]), int(ii[j, 1]), int(ii[j, 2]))
-                gt.append(dataset.render_audio(
-                    dataset.get_full_preset_params(uid), pitch, vel))
-                est.append(dataset.render_audio(fi[j], pitch, vel))
+            gt_presets = np.stack(
+                [dataset.get_full_preset_params(int(u)) for u in ii[:, 0]]
+            )
+            # threaded C++ batch render (reference used one VST process per
+            # item in a multiprocessing.Pool, eval.py:190-199)
+            gt = renderer.render_batch(gt_presets, ii[:, 1], ii[:, 2])
+            est = renderer.render_batch(fi, ii[:, 1], ii[:, 2])
             errs = batched_audio_errors(
-                jnp.asarray(np.stack(gt)), jnp.asarray(np.stack(est)),
+                jnp.asarray(gt), jnp.asarray(est),
                 model_c.stft_args[0], model_c.stft_args[1],
                 model_c.sampling_rate,
             )

@@ -83,3 +83,15 @@ def test_expand_k_folds():
     mods = expand_k_folds([({"run_name": "r"}, {})], 3)
     assert [m["run_name"] for m, _ in mods] == ["r_kf0", "r_kf1", "r_kf2"]
     assert [t["current_k_fold"] for _, t in mods] == [0, 1, 2]
+
+
+def test_host_fed_pipeline_mode(tiny_dataset, tmp_path):
+    """dataset_cache_device=False: batches gathered on host and device_put
+    per step (the fallback when the corpus exceeds HBM)."""
+    model_c, train_c = _configs(tmp_path, run_name="hostfed", n_epochs=1)
+    train_c = dataclasses.replace(train_c, dataset_cache_device=False)
+    summary = train_config(
+        model_c, train_c, dataset=tiny_dataset, use_tensorboard=False
+    )
+    assert summary["epochs_trained"] == 1
+    assert np.isfinite(summary["ReconsLoss/Backprop/Valid"])

@@ -132,6 +132,10 @@ def test_note_off_release(renderer, rng):
         b = dx.op_param_index(op, 0)
         p[b + dx.OFF_EG_RATES[3]] = 1.0   # fast release
         p[b + dx.OFF_EG_LEVELS[3]] = 0.0  # release to silence
+        # no key level scaling: a random boost is clamped against the 0 dB
+        # total-level ceiling and would lift the -73 dB release floor
+        p[b + dx.OFF_L_DEPTH] = 0.0
+        p[b + dx.OFF_R_DEPTH] = 0.0
     w = renderer.render_note(p, 60, 100)
     pre = np.sqrt((w[60000:66000] ** 2).mean())   # ~2.7-3.0 s (key down)
     post = np.sqrt((w[75000:81000] ** 2).mean())  # ~3.4-3.7 s (released)

@@ -131,10 +131,9 @@ def evaluate_model(
             "num_mae", "num_mae_dyn", "acc", "acc_dyn",
         )
     }
-    v_out_all, v_in_all, info_all = [], [], []
+    v_out_all, info_all = [], []
 
     for x, v, info in loader.epoch_batches(0):
-        n_valid = len(np.unique(info, axis=0)) if len(info) else 0
         mu, zK, v_out = infer(state.params, state.batch_stats, jnp.asarray(x),
                               jnp.asarray(info))
         mu, zK = np.asarray(mu), np.asarray(zK)
@@ -150,9 +149,7 @@ def evaluate_model(
         rows["acc"] += list(np.asarray(acc.per_item(v_out, v)))
         rows["acc_dyn"] += list(np.asarray(acc_dyn.per_item(v_out, v)))
         v_out_all.append(v_out)
-        v_in_all.append(v)
         info_all.append(info)
-        del n_valid
 
     df = pd.DataFrame(rows)
     # drop cyclic pad duplicates (pipeline pads the last batch)

@@ -145,16 +145,24 @@ def train_config(
     if device_resident:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        import ml_dtypes
+
         tensors = loaders["train"].tensors
-        x_dtype = (
-            jnp.bfloat16 if train_c.compute_dtype == "bfloat16" else jnp.float32
+        # bf16 cast happens ON HOST: uploading the f32 corpus and casting
+        # on device would transiently hold 1.5x the corpus in HBM (a 30k
+        # Dexed corpus is 10.9 GB f32 — that alone OOMs a 16 GB chip)
+        x_np = (
+            np.asarray(tensors["x"]).astype(ml_dtypes.bfloat16)
+            if train_c.compute_dtype == "bfloat16"
+            else np.asarray(tensors["x"], dtype=np.float32)
         )
         repl = replicated_sharding(mesh)
         corpus = (
-            jax.device_put(jnp.asarray(tensors["x"], dtype=x_dtype), repl),
-            jax.device_put(jnp.asarray(tensors["v"]), repl),
-            jax.device_put(jnp.asarray(tensors["info"]), repl),
+            jax.device_put(x_np, repl),
+            jax.device_put(np.asarray(tensors["v"], dtype=np.float32), repl),
+            jax.device_put(np.asarray(tensors["info"]), repl),
         )
+        del x_np
         batch_spec = NamedSharding(mesh, P("data"))
 
         def _gather(cx, cv, ci, idx):

@@ -58,10 +58,16 @@ def mae_log_stft(s_ref: jnp.ndarray, s_est: jnp.ndarray) -> jnp.ndarray:
 
 def spectral_convergence(s_ref: jnp.ndarray, s_est: jnp.ndarray) -> jnp.ndarray:
     """(B, F, T) x2 -> (B,) Frobenius-relative error
-    (reference: utils/audio.py:137-143)."""
+    (reference: utils/audio.py:137-143).
+
+    A (near-)silent reference makes the ratio meaningless — the reference
+    flags this as an open TODO (utils/audio.py:139); here those rows return
+    NaN so aggregations can skip them instead of being dominated by 1e10
+    ratios."""
     num = jnp.sqrt(jnp.sum(jnp.square(s_ref - s_est), axis=(-2, -1)))
     den = jnp.sqrt(jnp.sum(jnp.square(s_ref), axis=(-2, -1)))
-    return num / jnp.maximum(den, 1e-12)
+    sc = num / jnp.maximum(den, 1e-12)
+    return jnp.where(den < 1e-3, jnp.nan, sc)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))

@@ -208,6 +208,30 @@ class PresetDataset:
             "std": float(specs.std()),
         }
 
+    def generate_wav_files(self, out_dir=None, n_threads: int = 0) -> int:
+        """Reference-parity wav-corpus export (dexeddataset.py:278-311):
+        writes one 16-bit wav per (preset, MIDI note). The TPU pipeline does
+        NOT need these files (audio renders in-process and spectrograms are
+        cached as arrays); this exists for tooling that consumed the
+        reference's pre-rendered corpus."""
+        from ..utils.audio_io import write_wav
+
+        out_dir = pathlib.Path(out_dir) if out_dir else self._corpus_cache_dir() / "wav"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        uids = self.valid_preset_UIDs
+        presets = np.stack([self.get_full_preset_params(u) for u in uids])
+        count = 0
+        for pitch, vel in self.midi_notes:
+            wavs = self.render_audio_batch(presets, pitch, vel)
+            for uid, w in zip(uids, wavs):
+                write_wav(
+                    out_dir / f"preset{int(uid):06d}_pitch{pitch:03d}"
+                              f"_vel{vel:03d}.wav",
+                    w, self.sample_rate,
+                )
+                count += 1
+        return count
+
     def compute_and_store_spectrograms_stats(self) -> Dict[str, float]:
         """Reference-parity stats pass (abstractbasedataset.py:348-391):
         per-preset min/max/mean/var CSV + corpus-level JSON. The reference

@@ -190,3 +190,18 @@ def test_stats_pass_and_db_export(tmp_path):
     assert len(list((tmp_path / "exported").glob("*_params.npy"))) == 4
     loaded = np.load(tmp_path / "exported" / "preset000002_params.npy")
     np.testing.assert_allclose(loaded, presets[2])
+
+
+@needs_engine
+def test_generate_wav_files_and_registry(tmp_path):
+    from preset_gen_vae_tpu.data.dataset import ALL_DATASETS
+    from preset_gen_vae_tpu.utils.audio_io import read_wav
+
+    assert ALL_DATASETS["dexed"] is DexedDataset
+    ds = DexedDataset(n_synthetic_presets=3, synthetic_seed=4, data_root=tmp_path)
+    n = ds.generate_wav_files(tmp_path / "wavs")
+    assert n == 3
+    files = sorted((tmp_path / "wavs").glob("*.wav"))
+    assert len(files) == 3
+    w, sr = read_wav(files[0])
+    assert sr == 22050 and w.shape == (ds.samples_per_render,)

@@ -32,3 +32,28 @@ def test_make_global_batch_sharded():
     # sharded over the data axis: each of the 8 devices holds 2 rows
     assert len(gx.sharding.device_set) == 8
     np.testing.assert_array_equal(np.asarray(gx), x)
+
+
+def test_tp_sharding_rules():
+    """Tensor-parallel param rules: big 2-D kernels shard over 'model',
+    small tensors and mismatched dims stay replicated."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from preset_gen_vae_tpu.parallel.sharding_rules import (
+        make_2d_mesh,
+        param_spec,
+        shard_params,
+    )
+
+    mesh = make_2d_mesh(4, 2)
+    big = jnp.zeros((512, 1024))
+    small = jnp.zeros((16, 16))
+    bias = jnp.zeros((1024,))
+    odd = jnp.zeros((513, 1023))  # neither dim divisible by 2... 513 odd
+    assert param_spec(big, mesh, 1 << 14) == P(None, "model")
+    assert param_spec(small, mesh, 1 << 14) == P()
+    assert param_spec(bias, mesh, 1 << 14) == P()
+    assert param_spec(odd, mesh, 1 << 14) == P()
+    placed = shard_params({"k": big, "b": bias}, mesh, 1 << 14)
+    assert len(placed["k"].sharding.device_set) == 8

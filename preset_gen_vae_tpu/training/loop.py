@@ -235,8 +235,13 @@ def train_config(
         state = set_learning_rate(state, lr)
         beta = float(beta_warmup.get(epoch))
 
+        # profile a handful of steady-state minibatches, not the whole epoch
+        # (a full-epoch device trace of the flagship is ~400 MB)
+        PROFILE_STEPS = 5
+        trace_active = False
         if profiling and epoch == train_c.start_epoch:
             jax.profiler.start_trace(str(logger.run_dir / "profile"))
+            trace_active = True
 
         # ---- train minibatches (train.py:201-252)
         # Dispatch is async: metric values are NOT fetched per step (that
@@ -290,14 +295,20 @@ def train_config(
             if len(pending) >= FLUSH_EVERY:
                 _flush()
             logger.on_minibatch_finished(i)
+            if trace_active and i + 1 >= PROFILE_STEPS:
+                _flush()  # force the traced steps to completion
+                jax.profiler.stop_trace()
+                trace_active = False
+                logger.save_profiler_results(str(logger.run_dir / "profile"))
             if profiling and train_c.profiler_full_trace and i == 2:
                 break
         _flush()
-        if profiling and epoch == train_c.start_epoch:
+        if trace_active:  # epoch shorter than PROFILE_STEPS
             jax.profiler.stop_trace()
+            trace_active = False
             logger.save_profiler_results(str(logger.run_dir / "profile"))
-            if train_c.profiler_full_trace:
-                break
+        if profiling and train_c.profiler_full_trace and epoch == train_c.start_epoch:
+            break
 
         scalars["VAELoss/Train"] = logmetrics.SimpleMetric(
             scalars["ReconsLoss/Backprop/Train"].get()

@@ -95,3 +95,18 @@ def test_host_fed_pipeline_mode(tiny_dataset, tmp_path):
     )
     assert summary["epochs_trained"] == 1
     assert np.isfinite(summary["ReconsLoss/Backprop/Valid"])
+
+
+def test_profiled_epoch_writes_trace(tiny_dataset, tmp_path):
+    """profiler_args={'enabled': True}: a bounded (few-step) jax.profiler
+    trace lands in the run dir (reference analog: utils/profile.py +
+    logger.save_profiler_results)."""
+    model_c, train_c = _configs(tmp_path, run_name="prof", n_epochs=1)
+    train_c = dataclasses.replace(train_c, profiler_args={"enabled": True})
+    train_config(model_c, train_c, dataset=tiny_dataset, use_tensorboard=False)
+    import pathlib
+
+    trace_files = list(
+        (pathlib.Path(str(tmp_path)) / "TestVAE" / "prof" / "profile").rglob("*.pb")
+    )
+    assert trace_files, "no xplane trace written"

@@ -110,3 +110,26 @@ def test_profiled_epoch_writes_trace(tiny_dataset, tmp_path):
         (pathlib.Path(str(tmp_path)) / "TestVAE" / "prof" / "profile").rglob("*.pb")
     )
     assert trace_files, "no xplane trace written"
+
+
+def test_run_queue_nan_retry(monkeypatch):
+    """The queue restarts a diverged run up to max_restarts times
+    (reference: train_queue.py:89-106)."""
+    from preset_gen_vae_tpu.training import queue as q
+    from preset_gen_vae_tpu.utils.exception import ModelConvergenceError
+
+    calls = {"n": 0}
+
+    def fake_train(model_c, train_c, **kw):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ModelConvergenceError("NaN at epoch 0")
+        return {"ok": True, "run": model_c.run_name}
+
+    monkeypatch.setattr(q, "train_config", fake_train)
+    out = q.run_queue([({"run_name": "r0"}, {})], max_restarts=2)
+    assert calls["n"] == 3 and out[0]["ok"]
+
+    calls["n"] = -10  # never succeeds within retries
+    with pytest.raises(RuntimeError):
+        q.run_queue([({"run_name": "r1"}, {})], max_restarts=1)

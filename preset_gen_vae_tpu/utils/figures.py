@@ -91,6 +91,17 @@ def plot_synth_preset_error(
     fig, ax = plt.subplots(1, 1, figsize=(max(8, P * 0.09), 4))
     ax.boxplot(list(data.T), showfliers=False)
     ax.axhline(0.0, color="k", lw=0.5)
+    # quantization-step overlays for discrete numerical params
+    # (reference: utils/figures.py:296-320 draws the +/- one-step band)
+    if idx_helper is not None:
+        for pos, c in enumerate(cols):
+            steps = idx_helper.get_learnable_param_quantized_steps(int(c))
+            if steps is not None and 2 <= len(steps) <= 33:
+                half = 0.5 * (steps[1] - steps[0])
+                ax.plot([pos + 0.7, pos + 1.3], [half, half],
+                        color="tab:orange", lw=0.6)
+                ax.plot([pos + 0.7, pos + 1.3], [-half, -half],
+                        color="tab:orange", lw=0.6)
     if idx_helper is not None and idx_helper.synth_name.lower() == "dexed":
         from ..synth import dexed_params as dx
 

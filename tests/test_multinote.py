@@ -70,3 +70,22 @@ def test_unstacked_multinote_run(tmp_path):
     assert model_r.concat_midi_to_z and model_r.increased_dataset_size
     summary = train_config(model_c, train_c, dataset=ds, use_tensorboard=False)
     assert np.isfinite(summary["ReconsLoss/Backprop/Valid"])
+
+
+def test_stacked_deepest_features_mix(tmp_path):
+    """stack_specs_deepest_features_mix=True: channels mixed at the deepest
+    1x1 conv instead of the 4x4 (reference: config.py:38, encoder.py:95-100)."""
+    import jax
+    import jax.numpy as jnp
+
+    from preset_gen_vae_tpu.models.encoder import SpectrogramEncoder
+
+    for mix in (False, True):
+        enc = SpectrogramEncoder(
+            architecture="speccnn8l1_bn", dim_z=8, spectrogram_channels=3,
+            fc_dropout=0.0, deepest_features_mix=mix, dtype=jnp.float32,
+        )
+        x = jnp.zeros((2, 3, 257, 347), dtype=jnp.float32)
+        v = enc.init(jax.random.PRNGKey(0), x, train=False)
+        out = enc.apply(v, x, train=False)
+        assert out.shape == (2, 2, 8), f"mix={mix}"

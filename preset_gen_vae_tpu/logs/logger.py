@@ -117,9 +117,11 @@ class RunLogger:
             info = jnp.zeros((2, 3), dtype=jnp.int32)
             table = nn.tabulate(
                 model,
-                jax.random.PRNGKey(seed),
-                rngs={"sampling": jax.random.PRNGKey(1),
-                      "dropout": jax.random.PRNGKey(2)},
+                {
+                    "params": jax.random.PRNGKey(seed),
+                    "sampling": jax.random.PRNGKey(seed + 1),
+                    "dropout": jax.random.PRNGKey(seed + 2),
+                },
                 depth=2,
             )(x, info, train=True, method=model.forward_full)
             with open(self.run_dir / "model_summary.txt", "w") as f:

@@ -211,6 +211,12 @@ struct EG {
       float target = targets_db[stage];
       float d = target - current_db;
       float step = slews[stage];
+      if (d > 0.0f) {
+        // rising segment: the DX7 attack closes on its target noticeably
+        // faster than a decay at the same rate, with an exponential-like
+        // approach; modeled as 4x slew plus proportional pull
+        step = 4.0f * step + 0.05f * d;
+      }
       if (std::fabs(d) <= step) {
         current_db = target;
         if (stage < 2) ++stage;
@@ -264,7 +270,7 @@ const float kPmsSemis[8] = {0.0f, 0.09f, 0.20f, 0.43f, 0.87f, 1.79f, 3.66f, 7.0f
 
 }  // namespace
 
-extern "C" int dx7_engine_version() { return 1; }
+extern "C" int dx7_engine_version() { return 2; }
 
 extern "C" int dx7_render(const float* preset, int midi_pitch, int midi_vel,
                           float note_on_s, float total_s, int sample_rate,

@@ -105,10 +105,10 @@ def test_dataset_constraints_applied(small_dataset):
 
 
 @needs_engine
-def test_algo_restriction():
+def test_algo_restriction(tmp_path):
     ds = DexedDataset(
         n_synthetic_presets=64, synthetic_seed=1, algos=(21,),
-        data_root="/tmp/pgv_test_algo21",
+        data_root=tmp_path,
     )
     for uid in ds.valid_preset_UIDs:
         p = ds.get_full_preset_params(uid)

@@ -41,7 +41,9 @@ from ..training.train_step import create_train_state
 from .similarity import batched_audio_errors
 
 
-def evaluate_all_models(eval_config: cfg.EvalConfig) -> List[pd.DataFrame]:
+def evaluate_all_models(
+    eval_config: cfg.EvalConfig, saved_root="/root/repo/saved", dataset=None
+) -> List[pd.DataFrame]:
     """(reference: eval.py:34-62) — iterates saved runs (+ k-fold
     expansion) and evaluates those without existing eval files."""
     out = []
@@ -53,13 +55,13 @@ def evaluate_all_models(eval_config: cfg.EvalConfig) -> List[pd.DataFrame]:
         )
         for name in names:
             model_name, run_name = name.split("/")
-            run_dir = pathlib.Path("saved") / model_name / run_name
-            if not run_dir.is_absolute():
-                run_dir = pathlib.Path("/root/repo") / run_dir
+            run_dir = pathlib.Path(saved_root) / model_name / run_name
             pickle_path = run_dir / f"eval_{eval_config.dataset}.dataframe.pickle"
             if pickle_path.exists() and not eval_config.override_previous_eval:
                 continue
-            out.append(evaluate_model_from_dir(run_dir, eval_config))
+            out.append(
+                evaluate_model_from_dir(run_dir, eval_config, dataset=dataset)
+            )
     return out
 
 

@@ -82,3 +82,43 @@ def test_evaluate_model_end_to_end(tmp_path):
     assert (run_dir / "eval_validation.dataframe.pickle").exists()
     assert (run_dir / "eval_validation_z0_spearman_r.npy").exists()
     assert (run_dir / "eval_validation_summary.json").exists()
+
+
+@pytest.mark.skipif(not engine_available(), reason="libdx7.so not built")
+def test_evaluate_all_models_walks_saved_runs(tmp_path):
+    """evaluate_all_models: k-fold name expansion, skip-if-already-evaluated
+    (reference: eval.py:34-62)."""
+    from preset_gen_vae_tpu.evaluation.evaluate import evaluate_all_models
+
+    ds = DexedDataset(
+        n_synthetic_presets=16, synthetic_seed=6, data_root=tmp_path / "d"
+    )
+    model_c = cfg.ModelConfig(
+        name="WalkVAE", run_name="w0", latent_flow_arch=None,
+        params_regression_architecture="mlp_2l64", dim_z=8,
+        logs_root_dir=str(tmp_path / "saved"),
+    )
+    train_c = cfg.TrainConfig(
+        minibatch_size=8, n_epochs=1, save_period=10, lr_warmup_epochs=0,
+        compute_dtype="float32", verbosity=0,
+    )
+    train_config(model_c, train_c, dataset=ds, use_tensorboard=False)
+    eval_c = cfg.EvalConfig(models_names=("WalkVAE/w0",), dataset="validation")
+    dfs = evaluate_all_models(
+        eval_c, saved_root=tmp_path / "saved", dataset=ds
+    )
+    assert len(dfs) == 1 and len(dfs[0]) > 0
+    # second call: eval artifacts exist -> skipped unless override
+    assert evaluate_all_models(eval_c, saved_root=tmp_path / "saved",
+                               dataset=ds) == []
+
+
+@pytest.mark.skipif(not engine_available(), reason="libdx7.so not built")
+def test_mean_std_normalization_mode(tmp_path):
+    ds = DexedDataset(
+        n_synthetic_presets=8, synthetic_seed=8, data_root=tmp_path,
+        spectrogram_normalization="mean_std",
+    )
+    x = ds.corpus_tensors()["x"]
+    assert abs(float(x.mean())) < 0.05  # standardized
+    assert 0.8 < float(x.std()) < 1.2

@@ -231,3 +231,26 @@ def test_encoder_all_architectures_shapes():
         )
         out = enc.apply(variables, x, train=False)
         assert out.shape == (1, 2, 16), arch
+
+
+def test_params_reg_softmax_activation(small_helper):
+    """params_reg_softmax=True: categorical groups leave the regression head
+    as softmax distributions summing to 1 (reference: regression.py:20-53,
+    config.py:27)."""
+    model_c, train_c = _tiny_configs(
+        dict(latent_flow_arch=None, params_regression_architecture="mlp_2l64",
+             dim_z=16, params_reg_softmax=True)
+    )
+    model_c = dataclasses.replace(
+        model_c, learnable_params_tensor_length=small_helper.learnable_preset_size
+    )
+    _, _, _, ext = mbuild.build_extended_ae_model(model_c, train_c, small_helper)
+    variables = mbuild.init_extended_ae(ext, 0, model_c.input_tensor_size)
+    x = jnp.zeros((2, 1, 257, 347), dtype=jnp.float32)
+    info = jnp.asarray([[0, 60, 85], [1, 60, 85]], dtype=jnp.int32)
+    outs = ext.apply(variables, x, info, train=False, method=ext.forward_full)
+    v_out = np.asarray(outs[-1])
+    h = small_helper
+    for g in range(h.n_cat_groups):
+        idx = h.cat_group_idx_matrix[g][h.cat_group_mask[g]]
+        np.testing.assert_allclose(v_out[:, idx].sum(axis=1), 1.0, atol=1e-5)

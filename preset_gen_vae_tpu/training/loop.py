@@ -145,14 +145,16 @@ def train_config(
     if device_resident:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        import ml_dtypes
+        from ..utils.fast_cast import f32_to_bf16
 
         tensors = loaders["train"].tensors
         # bf16 cast happens ON HOST: uploading the f32 corpus and casting
         # on device would transiently hold 1.5x the corpus in HBM (a 30k
-        # Dexed corpus is 10.9 GB f32 — that alone OOMs a 16 GB chip)
+        # Dexed corpus is 10.9 GB f32 — that alone OOMs a 16 GB chip).
+        # f32_to_bf16 is the vectorized bit-twiddle: ml_dtypes' astype runs
+        # <10 MB/s and took ~20 min on the same corpus.
         x_np = (
-            np.asarray(tensors["x"]).astype(ml_dtypes.bfloat16)
+            f32_to_bf16(np.asarray(tensors["x"]))
             if train_c.compute_dtype == "bfloat16"
             else np.asarray(tensors["x"], dtype=np.float32)
         )

@@ -77,3 +77,19 @@ def test_nan_guard():
     check_nan_values(0, 1.0, 2.0)
     with pytest.raises(ModelConvergenceError):
         check_nan_values(0, 1.0, float("nan"))
+
+
+def test_fast_bf16_cast_matches_ml_dtypes(rng):
+    import ml_dtypes
+
+    from preset_gen_vae_tpu.utils.fast_cast import f32_to_bf16
+
+    x = (rng.standard_normal((64, 33)) * 100).astype(np.float32)
+    # include exact halfway-rounding cases and specials
+    x[0, :4] = [0.0, -0.0, np.inf, -np.inf]
+    ours = f32_to_bf16(x)
+    ref = x.astype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(
+        ours.view(np.uint16), ref.view(np.uint16)
+    )
+    assert ours.shape == x.shape

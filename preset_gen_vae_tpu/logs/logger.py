@@ -104,13 +104,30 @@ class RunLogger:
         self._epoch_durations = []
 
     # ------------------------------------------------------------------
-    def init_with_model(self, model, input_tensor_size, seed: int = 0) -> None:
+    def init_with_model(self, model, input_tensor_size, seed: int = 0,
+                        variables=None, tabulate_max_params: int = 10_000_000
+                        ) -> None:
         """Writes a parameter-table summary of the model to the run dir and
         to TensorBoard (reference: logger.py:155-172 — torchinfo summary +
-        TB graph)."""
+        TB graph). For very large models nn.tabulate's eager traced forward
+        takes minutes on slow hosts; above ``tabulate_max_params`` only the
+        parameter count is recorded."""
         try:
             import jax.numpy as jnp
             from flax import linen as nn
+
+            if variables is not None:
+                n_params = sum(
+                    int(np.prod(p.shape))
+                    for p in jax.tree_util.tree_leaves(variables.get("params", {}))
+                )
+                if n_params > tabulate_max_params:
+                    msg = (f"{model.__class__.__name__}: {n_params:,} parameters "
+                           f"(> {tabulate_max_params:,}; layer table skipped)")
+                    with open(self.run_dir / "model_summary.txt", "w") as f:
+                        f.write(msg + "\n")
+                    self.log(msg, level=1)
+                    return
 
             _, c, h, w = input_tensor_size
             x = jnp.zeros((2, c, h, w), dtype=jnp.float32)

@@ -96,7 +96,8 @@ def train_config(
         ext, train_c.seed, model_c.input_tensor_size
     )
     if train_c.verbosity >= 1:
-        logger.init_with_model(ext, model_c.input_tensor_size)
+        logger.init_with_model(ext, model_c.input_tensor_size,
+                               variables=variables)
     state = create_train_state(ext, variables, train_c)
     scheduler = ReduceLROnPlateau(
         train_c.initial_learning_rate,

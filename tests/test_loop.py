@@ -133,3 +133,18 @@ def test_run_queue_nan_retry(monkeypatch):
     calls["n"] = -10  # never succeeds within retries
     with pytest.raises(RuntimeError):
         q.run_queue([({"run_name": "r1"}, {})], max_restarts=1)
+
+
+def test_training_reproducibility(tiny_dataset, tmp_path):
+    """Two runs with identical seeds/config produce identical final
+    validation losses: PRNG streams are keyed (not global-state), splits
+    are seed-0 deterministic, and epoch shuffles derive from (seed, epoch)."""
+    results = []
+    for name in ("repro_a", "repro_b"):
+        model_c, train_c = _configs(tmp_path, run_name=name, n_epochs=2)
+        s = train_config(model_c, train_c, dataset=tiny_dataset,
+                         use_tensorboard=False)
+        results.append(s)
+    for k in ("ReconsLoss/Backprop/Valid", "LatLoss/Valid",
+              "Controls/BackpropLoss/Valid"):
+        assert results[0][k] == results[1][k], k

@@ -164,3 +164,30 @@ def test_mel_pseudo_inverse_roundtrip():
     rec = np.maximum(pinv @ mel_spec, 0.0)
     err = np.abs(rec[5:-5] - spec[5:-5]).mean() / spec.mean()
     assert err < 0.01
+
+
+def test_normalize_denormalize_roundtrip():
+    """min_max / mean_std normalization and their inverses
+    (reference: abstractbasedataset.py:129-133, 340-345)."""
+    import numpy as np
+
+    from preset_gen_vae_tpu.ops.spectrogram import (
+        denormalize,
+        normalize_mean_std,
+        normalize_min_max,
+    )
+
+    rng = np.random.default_rng(0)
+    spec = (rng.random((4, 16, 16)) * 100.0 - 110.0).astype(np.float32)
+    stats = {
+        "min": float(spec.min()), "max": float(spec.max()),
+        "mean": float(spec.mean()), "std": float(spec.std()),
+    }
+    mm = np.asarray(normalize_min_max(spec, (stats["min"], stats["max"])))
+    assert mm.min() >= -1.0 - 1e-5 and mm.max() <= 1.0 + 1e-5
+    back = np.asarray(denormalize(mm, "min_max", stats))
+    np.testing.assert_allclose(back, spec, rtol=1e-4, atol=1e-3)
+    ms = np.asarray(normalize_mean_std(spec, (stats["mean"], stats["std"])))
+    assert abs(float(ms.mean())) < 1e-3
+    back = np.asarray(denormalize(ms, "mean_std", stats))
+    np.testing.assert_allclose(back, spec, rtol=1e-4, atol=1e-3)

@@ -93,3 +93,17 @@ def test_fast_bf16_cast_matches_ml_dtypes(rng):
         ours.view(np.uint16), ref.view(np.uint16)
     )
     assert ours.shape == x.shape
+
+
+def test_erase_run(tmp_path):
+    """clean_logs equivalent removes the run dir (reference: clean_logs.py)."""
+    from preset_gen_vae_tpu import config as cfg
+    from preset_gen_vae_tpu.logs.logger import RunLogger, erase_run, get_run_dir
+
+    m = cfg.ModelConfig(name="EraseMe", run_name="r0",
+                        logs_root_dir=str(tmp_path))
+    t = cfg.TrainConfig(verbosity=0)
+    RunLogger(m, t, use_tensorboard=False)
+    assert get_run_dir(m).exists()
+    erase_run(m)
+    assert not get_run_dir(m).exists()

@@ -36,3 +36,20 @@ def test_pallas_partial_last_tile(rng):
     a = np.asarray(ref(jnp.asarray(x)))
     b = np.asarray(pal(jnp.asarray(x)))
     np.testing.assert_allclose(a, b, atol=5e-2)  # dB domain: 0.05 dB
+
+
+def test_pallas_fast_precision_mode():
+    """'fast' (native bf16 MXU) mode: coarse agreement with the exact path
+    away from the log floor — intended for training-data generation on
+    TPU VMs, not for reference-parity evaluation."""
+    cfg = SpectrogramConfig(n_mel_bins=64)
+    exact = PallasSpectrogramProcessor(cfg, interpret=True, precision="exact")
+    fast = PallasSpectrogramProcessor(cfg, interpret=True, precision="fast")
+    x = np.random.default_rng(3).standard_normal((1, 22016)).astype(np.float32)
+    a = np.asarray(exact(jnp.asarray(x)))
+    b = np.asarray(fast(jnp.asarray(x)))
+    assert a.shape == b.shape
+    # compare only well above the -120 dB floor
+    mask = a > -60.0
+    assert mask.any()
+    assert np.abs((a - b)[mask]).max() < 1.0  # within 1 dB in-band

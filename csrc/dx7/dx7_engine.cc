@@ -55,11 +55,16 @@ inline float p99(float x) { return std::min(std::max(x, 0.0f), 1.0f) * 99.0f; }
 inline float level_to_db(float level) { return 0.74f * (level - 99.0f); }
 inline float db_to_lin(float db) { return std::pow(10.0f, db / 20.0f); }
 
-// EG rate (0..99) -> envelope slew in dB/second. Chosen so r=99 is
-// effectively instantaneous, r~50 takes a fraction of a second for a full
-// swing, r=0 takes minutes — matching the DX7's perceptual range.
+// EG rate (0..99) -> envelope slew in dB/second, via the DX7's documented
+// two-step law: the panel rate quantizes to a 6-bit qRate
+// (qr = rate * 41/64, i.e. 0..63), and the log-domain slew doubles every
+// 4 qRate steps. The absolute anchor is calibrated, not bit-measured:
+// qr=63 sweeps the full ~96 dB swing in ~10 ms (near-instant), qr=32
+// (panel ~50) in ~2 s, qr=0 in ~9 minutes — the DX7's documented
+// perceptual range. Pinned by golden timing tests (tests/test_synth.py).
 inline float rate_to_db_per_s(float r) {
-  return 0.6f * std::pow(2.0f, r / 6.0f);
+  float qr = std::min(63.0f, std::floor(r * 41.0f / 64.0f));
+  return 9600.0f * std::pow(2.0f, (qr - 63.0f) * 0.25f);
 }
 
 struct OpParams {
@@ -270,7 +275,14 @@ const float kPmsSemis[8] = {0.0f, 0.09f, 0.20f, 0.43f, 0.87f, 1.79f, 3.66f, 7.0f
 
 }  // namespace
 
-extern "C" int dx7_engine_version() { return 2; }
+extern "C" int dx7_engine_version() { return 3; }
+
+extern "C" int dx7_samples_per_render(float total_s, int sample_rate) {
+  if (sample_rate <= 0 || total_s <= 0.0f) return -1;
+  const int kEngineBlock = 512;
+  return ((int)(total_s * sample_rate) + kEngineBlock - 1) / kEngineBlock *
+         kEngineBlock;
+}
 
 extern "C" int dx7_render(const float* preset, int midi_pitch, int midi_vel,
                           float note_on_s, float total_s, int sample_rate,
@@ -329,8 +341,14 @@ extern "C" int dx7_render(const float* preset, int midi_pitch, int midi_vel,
   // max +/- 4 semitones of pitch EG swing at full scale
   const float peg_semis_per_unit = 4.0f / 50.0f;
 
-  // --- LFO
-  float lfo_hz = 0.062f + 13.0f * std::pow(g.lfo_speed / 99.0f, 2.2f);
+  // --- LFO. Speed (0..99) -> Hz via the hardware's piecewise-linear count
+  // curve (sr = 165*speed/64, slope break above count 160); absolute scale
+  // calibrated so speed 0 gives the documented ~0.06 Hz floor, putting
+  // speed 99 at ~23 Hz. Pinned by golden timing tests.
+  int lfo_s = qz(g.lfo_speed / 99.0f, 100);
+  int lfo_sr = lfo_s == 0 ? 1 : (165 * lfo_s) >> 6;
+  lfo_sr *= lfo_sr < 160 ? 11 : (11 + ((lfo_sr - 160) >> 4));
+  float lfo_hz = (float)lfo_sr * 0.0057f;
   float lfo_phase = g.lfo_key_sync ? 0.0f : 0.25f;
   float lfo_delay_s = 5.0f * std::pow(g.lfo_delay / 99.0f, 2.0f);
   float pmd = g.lfo_pm_depth / 99.0f;
@@ -338,7 +356,6 @@ extern "C" int dx7_render(const float* preset, int midi_pitch, int midi_vel,
   float pms_semis = kPmsSemis[g.pitch_mod_sens];
   uint32_t sh_rng = 0x12345678u;
   float sh_value = 0.0f;
-  float prev_lfo_phase = lfo_phase;
 
   // modulation index scale: out level 99 -> ~ pi*1.27 peak phase deviation
   const float kModIndexMax = 4.0f;
@@ -368,8 +385,11 @@ extern "C" int dx7_render(const float* preset, int midi_pitch, int midi_vel,
   float amp_cur[kNumOps] = {0}, amp_step[kNumOps] = {0};
   bool note_off_sent = false;
 
-  const int fade_samples = (int)(0.1f * fs);  // reference fadeout
-  const int fade_start = n_samples - fade_samples;
+  // Reference fadeout (synth/dexed.py:252-255): the last floor(0.1 * fs)
+  // samples are scaled by linspace(1.0, 0.0, fade_samples) — the final
+  // sample is exactly zero. Disabled when too short, as in the reference.
+  const int fade_samples = (int)std::floor(0.1f * fs);
+  const int fade_start = fade_samples > 1 ? n_samples - fade_samples : n_samples;
 
   for (int start = 0; start < n_samples; start += kBlock) {
     int blk = std::min(kBlock, n_samples - start);
@@ -391,7 +411,6 @@ extern "C" int dx7_render(const float* preset, int midi_pitch, int midi_vel,
       sh_rng = sh_rng * 1664525u + 1013904223u;
       sh_value = ((float)(sh_rng >> 8) / 8388608.0f) - 1.0f;
     }
-    (void)prev_lfo_phase;
     float lfo = lfo_wave_value(g.lfo_wave, lfo_phase, sh_value) * lfo_ramp;
 
     // pitch factor: pitch EG + pitch LFO
@@ -432,8 +451,11 @@ extern "C" int dx7_render(const float* preset, int midi_pitch, int midi_vel,
         if (is_carrier[i]) sample += y;
       }
       sample *= carrier_norm * g.master_volume;
-      if (idx >= fade_start && fade_samples > 0)
-        sample *= (float)(n_samples - idx) / (float)fade_samples;
+      // bound the multi-carrier sum: per-op dB clamps don't bound the sum
+      // after float rounding (output contract: |w| <= 1)
+      sample = std::min(std::max(sample, -1.0f), 1.0f);
+      if (idx >= fade_start)
+        sample *= (float)(n_samples - 1 - idx) / (float)(fade_samples - 1);
       out[idx] = sample;
     }
   }

@@ -27,8 +27,16 @@
 
 extern "C" {
 
-// Renders one MIDI note. `out` must hold `total_s * sample_rate` samples
-// (truncated to int). Returns the number of samples written, or -1 on error.
+// Number of samples one render writes: `total_s * sample_rate` rounded UP
+// to the engine's 512-sample block (reproduces the reference's whole-buffer
+// render length; synth/dexed.py:234, config.py:45-46). Size `out` buffers
+// with this. Returns -1 on invalid arguments.
+int dx7_samples_per_render(float total_s, int sample_rate);
+
+// Renders one MIDI note. `out` must hold `dx7_samples_per_render(total_s,
+// sample_rate)` samples — NOT the truncated `total_s * sample_rate`; the
+// write length rounds up to a whole 512-sample block. Returns the number of
+// samples written, or -1 on error.
 int dx7_render(const float* preset155, int midi_pitch, int midi_velocity,
                float note_on_s, float total_s, int sample_rate, float* out);
 

@@ -50,6 +50,7 @@ class DexedDataset(PresetDataset):
         db_path=None,
         n_synthetic_presets: int = 4096,
         synthetic_seed: int = 0,
+        synthetic_style: str = "structured",
         data_root=None,
     ):
         super().__init__(
@@ -68,7 +69,11 @@ class DexedDataset(PresetDataset):
         self.operators = tuple(operators) if operators is not None else (1, 2, 3, 4, 5, 6)
         self.restrict_to_labels = tuple(restrict_to_labels) if restrict_to_labels else None
         self._synthetic = db_path is None
-        self._synthetic_args = (n_synthetic_presets, synthetic_seed)
+        self._synthetic_args = (n_synthetic_presets, synthetic_seed, synthetic_style)
+        # both flags change the rendered audio and MUST key the caches
+        # (reference checks both: dexeddataset.py:313-328)
+        self._constant_filter_and_tune = bool(constant_filter_and_tune_params)
+        self._prevent_sh_lfo = bool(prevent_SH_LFO)
 
         # ---- corpus load (reference: dexeddataset.py:74-78)
         if db_path is not None:
@@ -77,7 +82,11 @@ class DexedDataset(PresetDataset):
             names, labels = database.names, database.labels
             self._param_names = database.param_names
         else:
-            presets, names, labels = db.generate_random_corpus(
+            gen = {
+                "structured": db.generate_structured_corpus,
+                "uniform": db.generate_random_corpus,
+            }[synthetic_style]
+            presets, names, labels = gen(
                 n_synthetic_presets, seed=synthetic_seed, algos=self.algos
             )
             self._param_names = [f"dexed_param_{i}" for i in range(dx.N_PARAMS)]
@@ -190,10 +199,24 @@ class DexedDataset(PresetDataset):
         )
         syn = (
             f"syn{self._synthetic_args[0]}s{self._synthetic_args[1]}"
+            f"{self._synthetic_args[2][:2]}"
             if self._synthetic
-            else "db"
+            else f"db{self._corpus_content_hash()}"
         )
-        return f"{base}_al{al}_op{op}_lab{lab}_{syn}"
+        flags = ("cft" if self._constant_filter_and_tune else "nocft") + (
+            "_nosh" if self._prevent_sh_lfo else "_sh"
+        )
+        return f"{base}_al{al}_op{op}_lab{lab}_{syn}_{flags}"
+
+    def _corpus_content_hash(self) -> str:
+        """Short content hash of the (constrained) preset matrix: two DB
+        files with equal preset counts must not collide in the cache."""
+        import hashlib
+
+        h = hashlib.sha1(
+            np.ascontiguousarray(self._presets, dtype=np.float32).tobytes()
+        )
+        return h.hexdigest()[:10]
 
     def _check_render_constraints(self):
         """Render-constraints consistency sidecar
@@ -206,6 +229,8 @@ class DexedDataset(PresetDataset):
             "sample_rate": self.sample_rate,
             "operators": list(self.operators),
             "algos": list(self.algos) if self.algos else None,
+            "constant_filter_and_tune_params": self._constant_filter_and_tune,
+            "prevent_SH_LFO": self._prevent_sh_lfo,
         }
         if path.exists():
             with open(path) as f:

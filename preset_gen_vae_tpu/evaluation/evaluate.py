@@ -209,11 +209,21 @@ def evaluate_model(
                 lat_zK.get_spearman_corr())
         np.save(run_dir / f"eval_{split}_zK_spearman_p.npy",
                 lat_zK.get_spearman_pvalues())
+        # nanmean: spectral_convergence is NaN by convention for near-silent
+        # ground truths (see similarity.py); a single silent preset must not
+        # NaN the corpus-level summary. n_nan_* fields record how many items
+        # were excluded per metric.
+        num_cols = [k for k in df.columns
+                    if k not in ("preset_UID", "midi_pitch", "midi_velocity")]
+        nan_counts = {
+            f"n_nan_{k}": int(df[k].isna().sum())
+            for k in num_cols if df[k].isna().any()
+        }
         with open(run_dir / f"eval_{split}_summary.json", "w") as f:
             json.dump(
                 {
-                    **{k: float(df[k].mean()) for k in df.columns
-                       if k not in ("preset_UID", "midi_pitch", "midi_velocity")},
+                    **{k: float(np.nanmean(df[k])) for k in num_cols},
+                    **nan_counts,
                     "latent_entanglement_z0": lat_z0.get(),
                     "latent_entanglement_zK": lat_zK.get(),
                     "n_items": int(len(df)),

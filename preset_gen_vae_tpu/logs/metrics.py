@@ -44,9 +44,12 @@ class EpochMetric:
     def on_new_epoch(self):
         self._sum, self._count = 0.0, 0
 
-    def append(self, value):
-        self._sum += float(value)
-        self._count += 1
+    def append(self, value, weight: float = 1.0):
+        """``weight`` is the batch's real (unpadded) item count relative to
+        a full batch — the final validation batch is cyclically padded to a
+        static shape, and its mean must not count as a full batch's worth."""
+        self._sum += float(value) * float(weight)
+        self._count += weight
 
     def get(self) -> float:
         if self._count == 0:

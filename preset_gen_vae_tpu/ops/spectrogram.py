@@ -14,7 +14,7 @@ the window folded in. For n_fft=1024 these are MXU-shaped (1024x513)
 contractions over large frame batches — XLA fuses the magnitude, mel matmul
 and log into the same pipeline, and the whole frontend runs at matmul speed
 with zero host round-trips. A fused Pallas kernel for the same computation
-lives in ops/pallas_spectrogram.py.
+lives in ops/pallas_mel.py.
 """
 
 from __future__ import annotations

@@ -126,6 +126,28 @@ def categorical_param_indexes() -> list:
     return idx
 
 
+# Carrier sets of the 32 DX7 algorithms (public hardware spec; must match
+# the engine's routing table, csrc/dx7/dx7_engine.cc kAlgos). Bit i-1 set =
+# operator i sums into the audio output; all other enabled ops are
+# modulators. Used by the structured synthetic-preset generator to give
+# carriers audible level/EG priors.
+ALGORITHM_CARRIER_MASKS = (
+    0b000101, 0b000101, 0b001001, 0b001001, 0b010101, 0b010101,  # 1-6
+    0b000101, 0b000101, 0b000101, 0b001001, 0b001001, 0b000101,  # 7-12
+    0b000101, 0b000101, 0b000101, 0b000001, 0b000001, 0b000001,  # 13-18
+    0b011001, 0b001011, 0b011011, 0b011101, 0b011011, 0b011111,  # 19-24
+    0b011111, 0b001011, 0b001011, 0b100101, 0b010111, 0b100111,  # 25-30
+    0b011111, 0b111111,                                          # 31-32
+)
+
+
+def algorithm_carriers(algorithm: int) -> list:
+    """1-based operator numbers that are carriers in the given 1-based
+    DX7 algorithm."""
+    mask = ALGORITHM_CARRIER_MASKS[algorithm - 1]
+    return [op for op in range(1, N_OPERATORS + 1) if (mask >> (op - 1)) & 1]
+
+
 def midi_key_related_param_indexes() -> list:
     """Params whose effect depends on the played MIDI key/velocity
     (reference: synth/dexed.py:360-374)."""

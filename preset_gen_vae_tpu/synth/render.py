@@ -45,6 +45,8 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ]
             lib.dx7_engine_version.restype = ctypes.c_int
+            lib.dx7_samples_per_render.restype = ctypes.c_int
+            lib.dx7_samples_per_render.argtypes = [ctypes.c_float, ctypes.c_int]
             return lib
     return None
 
@@ -83,9 +85,13 @@ class DexedRenderer:
     @property
     def samples_per_render(self) -> int:
         # rounded up to the 512-sample engine block (matches the reference's
-        # RenderMan buffer behavior -> 347-frame spectrograms; config.py:45)
-        n = int(self.total_seconds * self.Fs)
-        return (n + 511) // 512 * 512
+        # RenderMan buffer behavior -> 347-frame spectrograms; config.py:45);
+        # the engine exports the authoritative length
+        return int(
+            _lib.dx7_samples_per_render(
+                ctypes.c_float(self.total_seconds), self.Fs
+            )
+        )
 
     def render_note(
         self, preset: np.ndarray, midi_pitch: int, midi_velocity: int

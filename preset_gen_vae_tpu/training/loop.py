@@ -222,7 +222,12 @@ def train_config(
         logger.tensorboard.init_hparams_and_metrics(metrics)
 
     rng_key = jax.random.PRNGKey(train_c.seed)
-    profiling = bool(train_c.profiler_args.get("enabled", False))
+    from ..utils.profile import get_optional_profiler
+
+    profiler = get_optional_profiler(
+        train_c.profiler_args, str(logger.run_dir / "profile")
+    )
+    profiling = profiler.enabled
     early_stop = False
     epoch = train_c.start_epoch
 
@@ -243,7 +248,7 @@ def train_config(
         PROFILE_STEPS = 5
         trace_active = False
         if profiling and epoch == train_c.start_epoch:
-            jax.profiler.start_trace(str(logger.run_dir / "profile"))
+            profiler.start()
             trace_active = True
 
         # ---- train minibatches (train.py:201-252)
@@ -300,14 +305,14 @@ def train_config(
             logger.on_minibatch_finished(i)
             if trace_active and i + 1 >= PROFILE_STEPS:
                 _flush()  # force the traced steps to completion
-                jax.profiler.stop_trace()
+                profiler.stop()
                 trace_active = False
                 logger.save_profiler_results(str(logger.run_dir / "profile"))
             if profiling and train_c.profiler_full_trace and i == 2:
                 break
         _flush()
         if trace_active:  # epoch shorter than PROFILE_STEPS
-            jax.profiler.stop_trace()
+            profiler.stop()
             trace_active = False
             logger.save_profiler_results(str(logger.run_dir / "profile"))
         if profiling and train_c.profiler_full_trace and epoch == train_c.start_epoch:
@@ -327,6 +332,8 @@ def train_config(
             val_iter = enumerate(loaders["validation"].epoch_index_batches(epoch))
         else:
             val_iter = enumerate(loaders["validation"].epoch_batches(epoch))
+        val_loader = loaders["validation"]
+        bs = val_loader.batch_size
         for i, batch in val_iter:
             if device_resident:
                 m, v = eval_step_g(state, *corpus, jnp.asarray(batch))
@@ -336,12 +343,22 @@ def train_config(
                 x, v, info = batch
                 xb, vb, ib = shard_batch(mesh, (x, v, info))
                 m = eval_step(state, xb, vb, ib)
+            # the final batch is cyclically padded to the static batch shape;
+            # weight its (padded-)mean by the real item count and drop the
+            # padded rows from latent stats so validation means match the
+            # reference's exact per-item means (train.py:261-293)
+            n_real = min(bs, val_loader.n_items - i * bs)
+            w = n_real / bs
             for name in TRAIN_SCALARS:
-                scalars[name + "/Valid"].append(m[name])
+                scalars[name + "/Valid"].append(m[name], weight=w)
             lat = m["latents"]
-            scalars["LatCorr/Valid"].append(lat["z0_mu"], lat["z0"])
+            scalars["LatCorr/Valid"].append(
+                np.asarray(lat["z0_mu"])[:n_real], np.asarray(lat["z0"])[:n_real]
+            )
             if should_plot:
-                v_errors.append(np.asarray(m["v_out"]) - np.asarray(v))
+                v_errors.append(
+                    (np.asarray(m["v_out"]) - np.asarray(v))[:n_real]
+                )
                 if i == 0:
                     if x is None:
                         sel = loaders["validation"].tensors

@@ -16,11 +16,19 @@ from typing import Dict, Optional
 class NoProfiler:
     """No-op, same interface (reference: utils/profile.py:28-37)."""
 
+    enabled = False
+
     def __enter__(self):
         return None
 
     def __exit__(self, *exc):
         return False
+
+    def start(self):
+        pass
+
+    def stop(self):
+        pass
 
     def record_function(self, name: str):
         return contextlib.nullcontext()
@@ -28,22 +36,32 @@ class NoProfiler:
 
 class ActualProfiler:
     """jax.profiler trace over the scoped region
-    (reference: utils/profile.py:17-25)."""
+    (reference: utils/profile.py:17-25). Usable as a context manager or via
+    explicit ``start()``/``stop()`` (the train loop bounds its trace to a
+    few steady-state minibatches rather than a lexical scope)."""
+
+    enabled = True
 
     def __init__(self, log_dir: str, args: Optional[Dict] = None):
         self.log_dir = str(log_dir)
         self.args = args or {}
 
-    def __enter__(self):
+    def start(self):
         import jax
 
         jax.profiler.start_trace(self.log_dir)
-        return self
 
-    def __exit__(self, *exc):
+    def stop(self):
         import jax
 
         jax.profiler.stop_trace()
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
         return False
 
     def record_function(self, name: str):

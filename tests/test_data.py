@@ -68,6 +68,46 @@ def test_random_corpus_quantized_on_grid():
         np.testing.assert_allclose(steps, np.rint(steps), atol=1e-5)
 
 
+def test_structured_corpus_properties():
+    """Structured generator: deterministic, in-bounds, grid-exact discrete
+    params, algorithm-aware carrier levels, label vocab."""
+    p, names, labels = db.generate_structured_corpus(128, seed=7)
+    p2, _, _ = db.generate_structured_corpus(128, seed=7)
+    np.testing.assert_array_equal(p, p2)  # deterministic
+    assert p.shape == (128, dx.N_PARAMS) and p.dtype == np.float32
+    assert p.min() >= 0.0 and p.max() <= 1.0
+    card = dx.param_cardinalities()
+    for i in np.nonzero(card > 1)[0]:
+        steps = p[:, i] * (int(card[i]) - 1)
+        np.testing.assert_allclose(steps, np.rint(steps), atol=1e-5)
+    assert set(labels) <= set(db.LABELS_VOCAB)
+    # every preset's carriers (per its algorithm) have audible output level
+    for r in range(128):
+        algo = int(np.rint(p[r, dx.IDX_ALGORITHM] * 31)) + 1
+        for op in dx.algorithm_carriers(algo):
+            assert p[r, dx.op_param_index(op, dx.OFF_OUTPUT_LEVEL)] >= 0.85
+
+
+def test_structured_corpus_algo_restriction():
+    p, _, _ = db.generate_structured_corpus(64, seed=1, algos=(3, 21))
+    algo_of = np.rint(p[:, dx.IDX_ALGORITHM] * 31.0).astype(int) + 1
+    assert set(algo_of) <= {3, 21}
+
+
+def test_structured_corpus_renders_audible():
+    """The generator's whole purpose: (almost) no near-silent ground truths
+    (round-1 verdict: the uniform generator produced ~6% RMS<1e-3 renders,
+    NaN-ing spectral-convergence aggregates)."""
+    from preset_gen_vae_tpu.synth.render import DexedRenderer, engine_available
+
+    if not engine_available():
+        pytest.skip("libdx7.so not built")
+    p, _, _ = db.generate_structured_corpus(256, seed=0)
+    w = DexedRenderer().render_batch(p, [60] * 256, [85] * 256)
+    rms = np.sqrt((w ** 2).mean(axis=1))
+    assert (rms < 1e-3).mean() < 0.01
+
+
 needs_engine = pytest.mark.skipif(
     not engine_available(), reason="libdx7.so not built"
 )

@@ -17,6 +17,7 @@ DIM_Z = 16
 
 
 @pytest.mark.parametrize("arch", available_architectures())
+@pytest.mark.slow
 def test_encoder_decoder_shapes(arch):
     B, H, W = 1, 257, 347
     enc = SpectrogramEncoder(

@@ -53,6 +53,7 @@ def test_similarity_evaluator_api(rng):
 
 
 @pytest.mark.skipif(not engine_available(), reason="libdx7.so not built")
+@pytest.mark.slow
 def test_evaluate_model_end_to_end(tmp_path):
     ds = DexedDataset(
         n_synthetic_presets=24, synthetic_seed=5, data_root=tmp_path / "data"
@@ -85,6 +86,7 @@ def test_evaluate_model_end_to_end(tmp_path):
 
 
 @pytest.mark.skipif(not engine_available(), reason="libdx7.so not built")
+@pytest.mark.slow
 def test_evaluate_all_models_walks_saved_runs(tmp_path):
     """evaluate_all_models: k-fold name expansion, skip-if-already-evaluated
     (reference: eval.py:34-62)."""

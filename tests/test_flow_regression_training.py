@@ -22,6 +22,7 @@ def helper():
     return PresetIndexesHelper(build_dexed_preset_spec(operators=[1]))
 
 
+@pytest.mark.slow
 def test_flow_params_loss_training_decreases(helper):
     L = helper.learnable_preset_size
     model_c = cfg.ModelConfig(

@@ -50,6 +50,7 @@ def _configs(tmp_path, run_name="t0", start_epoch=0, n_epochs=3):
     return model_c, train_c
 
 
+@pytest.mark.slow
 def test_tiny_training_run_and_resume(tiny_dataset, tmp_path):
     model_c, train_c = _configs(tmp_path, n_epochs=3)
     summary = train_config(
@@ -69,6 +70,7 @@ def test_tiny_training_run_and_resume(tiny_dataset, tmp_path):
     assert 4 in list_checkpoint_epochs(model_c2)
 
 
+@pytest.mark.slow
 def test_resume_config_mismatch_raises(tiny_dataset, tmp_path):
     model_c, train_c = _configs(tmp_path, run_name="t1", n_epochs=2)
     train_config(model_c, train_c, dataset=tiny_dataset, use_tensorboard=False)
@@ -85,6 +87,7 @@ def test_expand_k_folds():
     assert [t["current_k_fold"] for _, t in mods] == [0, 1, 2]
 
 
+@pytest.mark.slow
 def test_host_fed_pipeline_mode(tiny_dataset, tmp_path):
     """dataset_cache_device=False: batches gathered on host and device_put
     per step (the fallback when the corpus exceeds HBM)."""
@@ -97,6 +100,7 @@ def test_host_fed_pipeline_mode(tiny_dataset, tmp_path):
     assert np.isfinite(summary["ReconsLoss/Backprop/Valid"])
 
 
+@pytest.mark.slow
 def test_profiled_epoch_writes_trace(tiny_dataset, tmp_path):
     """profiler_args={'enabled': True}: a bounded (few-step) jax.profiler
     trace lands in the run dir (reference analog: utils/profile.py +
@@ -135,6 +139,7 @@ def test_run_queue_nan_retry(monkeypatch):
         q.run_queue([({"run_name": "r1"}, {})], max_restarts=1)
 
 
+@pytest.mark.slow
 def test_training_reproducibility(tiny_dataset, tmp_path):
     """Two runs with identical seeds/config produce identical final
     validation losses: PRNG streams are keyed (not global-state), splits

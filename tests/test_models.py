@@ -66,6 +66,7 @@ def _tiny_configs(model_kwargs=None, train_kwargs=None):
     return cfg.resolve(m, t)
 
 
+@pytest.mark.slow
 def test_basic_vae_mlp_regression_shapes(small_helper):
     model_c, train_c = _tiny_configs(
         dict(latent_flow_arch=None, params_regression_architecture="mlp_2l128",
@@ -94,6 +95,7 @@ def test_basic_vae_mlp_regression_shapes(small_helper):
     assert np.asarray(x_out).min() >= -1.0 and np.asarray(x_out).max() <= 1.0
 
 
+@pytest.mark.slow
 def test_flow_vae_flow_regression_shapes(small_helper):
     L = small_helper.learnable_preset_size
     model_c, train_c = _tiny_configs(
@@ -122,6 +124,7 @@ def test_flow_vae_flow_regression_shapes(small_helper):
     assert np.asarray(v_out).min() >= 0.0 and np.asarray(v_out).max() <= 1.0
 
 
+@pytest.mark.slow
 def test_realnvp_inverse_consistency():
     """The inverse is analytically exact; each inverse coupling step divides
     by s, so at random init f32 rounding can amplify by orders of magnitude
@@ -180,6 +183,7 @@ def test_maf_forward_inverse_consistency():
     np.testing.assert_allclose(np.asarray(ld + ld_inv), 0.0, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_maf_autoregressive_property():
     """Output dim d of the MADE conditioner must not depend on inputs >= d."""
     made = F.MaskedAffineAutoregressive(features=6, hidden_features=16)
@@ -215,6 +219,7 @@ def test_preset_activation_softmax_groups(small_helper):
     assert out2.min() >= 0.0 and out2.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_encoder_all_architectures_shapes():
     """Every published architecture must produce (B, 2, dim_z) on the
     reference 257x347 input (reference: encoder.py:8-20)."""
@@ -233,6 +238,7 @@ def test_encoder_all_architectures_shapes():
         assert out.shape == (1, 2, 16), arch
 
 
+@pytest.mark.slow
 def test_params_reg_softmax_activation(small_helper):
     """params_reg_softmax=True: categorical groups leave the regression head
     as softmax distributions summing to 1 (reference: regression.py:20-53,

@@ -20,6 +20,7 @@ pytestmark = pytest.mark.skipif(
 NOTES = ((40, 85), (50, 85), (60, 85))
 
 
+@pytest.mark.slow
 def test_stacked_multinote_run(tmp_path):
     ds = DexedDataset(
         n_synthetic_presets=16, synthetic_seed=3, midi_notes=NOTES,
@@ -43,6 +44,7 @@ def test_stacked_multinote_run(tmp_path):
     assert np.isfinite(summary["ReconsLoss/Backprop/Valid"])
 
 
+@pytest.mark.slow
 def test_unstacked_multinote_run(tmp_path):
     ds = DexedDataset(
         n_synthetic_presets=16, synthetic_seed=3, midi_notes=NOTES,

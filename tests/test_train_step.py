@@ -62,6 +62,7 @@ def _fake_batch(helper, B, rng):
     return x, v, info
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_learns(helper):
     model_c, train_c, ext, variables = _small_setup(helper)
     state = create_train_state(ext, variables, train_c)
@@ -81,6 +82,7 @@ def test_train_step_runs_and_learns(helper):
     assert metrics["latents"]["z0_mu"].shape == (8, model_c.dim_z)
 
 
+@pytest.mark.slow
 def test_train_step_sharded_on_mesh(helper, rng):
     """The same step, explicitly sharded over all 8 virtual devices —
     validates the GSPMD data-parallel path (replacement for DataParallel,
@@ -136,6 +138,7 @@ def test_reduce_lr_on_plateau_semantics():
     assert s2.lr == s.lr and s2.best == s.best
 
 
+@pytest.mark.slow
 def test_remat_matches_baseline(helper):
     """jax.checkpoint rematerialization must not change the math."""
     model_c, train_c, ext, variables = _small_setup(helper)

@@ -29,8 +29,12 @@ def test_figures_render(rng):
     plt.close("all")
 
 
-def test_wav_roundtrip(tmp_path, rng):
-    x = (rng.standard_normal(1000) * 0.3).astype(np.float32)
+def test_wav_roundtrip(tmp_path):
+    # local seed (not the session rng): samples must stay inside [-1, 1] —
+    # 16-bit wav clips anything beyond full scale
+    x = np.clip(
+        np.random.default_rng(77).standard_normal(1000) * 0.3, -0.99, 0.99
+    ).astype(np.float32)
     write_wav(tmp_path / "t.wav", x, 22050)
     y, sr = read_wav(tmp_path / "t.wav")
     assert sr == 22050

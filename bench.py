@@ -6,7 +6,7 @@ flagship model — speccnn8l1_bn encoder/decoder + RealNVP-6l300 latent flow
 the reference's canonical batch size 160 and 257x347 mel-spectrograms
 (reference config: config.py:29-51,80) — with HBM-resident batches.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 vs_baseline: the reference publishes no throughput table (BASELINE.md). We
 use a documented estimate of its single-GPU training rate: speccnn8l1_bn
@@ -14,6 +14,14 @@ fwd+bwd is ~1.5 GMultAdd/sample (encoder 0.12 + decoder 0.36 GMultAdd fwd,
 backward ~2x fwd; reference encoder.py:233, decoder.py:200) plus flow
 overhead; at ~30% fp32 utilization of a V100-class GPU that is ~500
 samples/sec. vs_baseline = ours / 500.
+
+Two measured/first-principles anchors back the estimate up:
+- "mfu": achieved model FLOP/s (XLA compiled-executable cost analysis)
+  divided by the chip's bf16 peak — a denominator that needs no reference
+  hardware at all.
+- scripts/bench_torch_anchor.py: the SAME flagship architecture written in
+  torch, stepped on the SAME host CPU as our CPU-backend step — a measured
+  same-hardware framework-vs-framework ratio (see BENCH.md).
 """
 
 import json
@@ -30,6 +38,29 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_SPECS_PER_SEC_EST = 500.0
+
+# bf16 dense peak per chip, by jax device_kind. "TPU v5 lite" is v5e:
+# 197 TFLOP/s bf16 (public spec). MFU is computed against the bf16 peak
+# even though parts of the step run f32 — the conservative convention.
+PEAK_BF16_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def _model_flops_per_step(compiled) -> float:
+    """Model FLOPs of one compiled step from XLA's cost analysis
+    (0.0 when the backend does not report them)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def main():
@@ -66,7 +97,11 @@ def main():
     step = jax.jit(make_train_step(ext, model_c, train_c, helper),
                    donate_argnums=(0,))
 
-    # warmup + compile
+    # compile explicitly so the executable's cost analysis is available
+    compiled = step.lower(state, x, v, info, key, beta).compile()
+    flops_per_step = _model_flops_per_step(compiled)
+
+    # warmup
     state, metrics = step(state, x, v, info, key, beta)
     jax.block_until_ready(metrics["TotalLoss"])
 
@@ -77,16 +112,20 @@ def main():
     dt = time.perf_counter() - t0
 
     specs_per_sec = B * n_steps / dt
-    print(
-        json.dumps(
-            {
-                "metric": "flvae2_train_spectrograms_per_sec_per_chip",
-                "value": round(specs_per_sec, 2),
-                "unit": "spectrograms/sec",
-                "vs_baseline": round(specs_per_sec / REFERENCE_SPECS_PER_SEC_EST, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "flvae2_train_spectrograms_per_sec_per_chip",
+        "value": round(specs_per_sec, 2),
+        "unit": "spectrograms/sec",
+        "vs_baseline": round(specs_per_sec / REFERENCE_SPECS_PER_SEC_EST, 3),
+    }
+    if flops_per_step > 0:
+        achieved = flops_per_step * n_steps / dt
+        out["model_tflops_per_step"] = round(flops_per_step / 1e12, 3)
+        out["achieved_tflops_per_sec"] = round(achieved / 1e12, 2)
+        peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
+        if peak:
+            out["mfu"] = round(achieved / peak, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

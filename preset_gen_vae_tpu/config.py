@@ -94,6 +94,12 @@ class TrainConfig:
     latent_flow_input_regularization: str = "bn"  # 'bn' or 'dkl'
     params_cat_bceloss: bool = False
     params_cat_softmax_temperature: float = 0.2
+    # FlowParamsLoss (forward_controls_loss=False) inverse-pass BN mode:
+    # 'train' = reference parity (batch stats + dropout in the inverse
+    # flows, running stats updated twice per step, loss.py:318-346);
+    # 'eval' = running stats (flows strictly invertible). Measured
+    # comparison: PARITY.md.
+    flow_loss_bn_mode: str = "train"
     normalize_losses: bool = True
     # Optimizer
     optimizer: str = "Adam"
@@ -124,7 +130,16 @@ class TrainConfig:
     profiler_full_trace: bool = False
     profiler_1_GPU: bool = False  # kept for config parity; unused on TPU
     # TPU-specific additions (not in the reference)
-    data_parallel_devices: int = -1  # -1: all local devices
+    data_parallel_devices: int = -1  # data-axis size; -1: all remaining devices
+    # >1: 2-D (data, model) mesh — the large dense kernels and their Adam
+    # moments shard over the 'model' axis (parallel/sharding_rules.py);
+    # the reference's only distribution is DataParallel replication.
+    model_parallel_devices: int = 1
+    tp_min_elements: int = 1 << 18  # min kernel size eligible for TP sharding
+    # Multi-host (pod) data pipeline: auto-engages when process_count > 1
+    # (each host loads only its corpus shard, parallel/multihost.py); True
+    # forces the path in single-process jobs (integration tests).
+    force_multihost_data: bool = False
     compute_dtype: str = "bfloat16"  # matmul/conv compute dtype on TPU
     dataset_cache_device: bool = True  # keep the spectrogram corpus in HBM
     remat: bool = False  # rematerialize the forward in backward (big batches)

@@ -61,6 +61,53 @@ def host_item_range(n_items: int) -> Tuple[int, int]:
     return start, end
 
 
+def shard_loaders_for_host(loaders, force: bool = False):
+    """Per-host data sharding: carves every split loader down to this
+    host's contiguous ``host_item_range`` of items (so no host loads the
+    full corpus) and divides the batch size by ``process_count`` (so each
+    host serves exactly its local shard of the global batch —
+    ``make_global_batch`` assembles the rest).
+
+    Per-host epoch shuffles run over *disjoint* item sets, so the global
+    batch is a concatenation of independent per-host samples — the
+    standard pod input-pipeline semantics (vs the reference's
+    single-process global shuffle, data/build.py:43-79).
+
+    Single-process jobs pass through unchanged unless ``force`` is set
+    (integration tests exercise the full path at process_count=1)."""
+    n = jax.process_count()
+    if n <= 1 and not force:
+        return loaders
+    from ..data.pipeline import SplitLoader
+
+    out = {}
+    for name, ld in loaders.items():
+        if ld.batch_size % n != 0:
+            raise ValueError(
+                f"minibatch_size {ld.batch_size} not divisible by "
+                f"process_count {n}"
+            )
+        s, e = host_item_range(ld.n_items)
+        local = np.asarray(ld.item_indexes[s:e])
+        # slice the corpus rows this host actually serves; remap the
+        # split's global row ids into the local tensors
+        rows = np.unique(local)
+        remap = np.full(int(rows.max()) + 1 if len(rows) else 1, -1,
+                        dtype=np.int64)
+        remap[rows] = np.arange(len(rows))
+        tensors = {k: np.asarray(t)[rows] for k, t in ld.tensors.items()}
+        out[name] = SplitLoader(
+            tensors,
+            remap[local],
+            batch_size=ld.batch_size // n,
+            shuffle=ld.shuffle,
+            drop_last=ld.drop_last,
+            seed=ld.seed,
+            pad_to_full=ld.pad_to_full,
+        )
+    return out
+
+
 def make_global_batch(mesh: Mesh, local_batch, axis_name: str = DATA_AXIS):
     """Assembles a globally-sharded batch from each host's LOCAL shard.
 

@@ -71,6 +71,20 @@ def train_config(
         spectrogram_size=dataset.get_spectrogram_tensor_size()[1:],
     )
     loaders = data_build.get_split_dataloaders(train_c, dataset)
+    # ---- multi-host (pod) data path: each host keeps only its corpus
+    # shard and serves batch/process_count items; the global batch is
+    # assembled device-side with make_global_batch (SURVEY.md §2.10;
+    # the reference is strictly single-process).
+    multihost = jax.process_count() > 1 or train_c.force_multihost_data
+    if multihost:
+        from ..parallel.multihost import (
+            make_global_batch,
+            shard_loaders_for_host,
+        )
+
+        loaders = shard_loaders_for_host(
+            loaders, force=train_c.force_multihost_data
+        )
     idx_helper = dataset.preset_indexes_helper
 
     # ---- resume consistency (train.py:56-62, model/build.py:90-122)
@@ -125,13 +139,45 @@ def train_config(
     # the split is explicit)
     import math
 
+    n_model = max(1, train_c.model_parallel_devices)
     n_avail = (
         train_c.data_parallel_devices
         if train_c.data_parallel_devices > 0
-        else len(jax.devices())
+        else len(jax.devices()) // n_model
     )
-    mesh = make_mesh(math.gcd(train_c.minibatch_size, n_avail))
-    state = jax.device_put(state, replicated_sharding(mesh))
+    tp_report = None
+    if n_model > 1:
+        # 2-D (data, model) mesh: batch shards over 'data', the large dense
+        # kernels AND their Adam moments shard over 'model' (the size-driven
+        # rules in parallel/sharding_rules.py); GSPMD inserts the
+        # all-gather / reduce-scatter pairs over ICI. The HBM-resident
+        # corpus stays replicated — it is activation-sized data, not params.
+        from ..parallel.sharding_rules import (
+            count_sharded,
+            make_2d_mesh,
+            shard_params,
+        )
+
+        n_data = math.gcd(train_c.minibatch_size, n_avail)
+        if n_data * n_model > len(jax.devices()):
+            raise ValueError(
+                f"mesh ({n_data} data x {n_model} model) needs "
+                f"{n_data * n_model} devices, have {len(jax.devices())}"
+            )
+        mesh = make_2d_mesh(n_data, n_model)
+        state = shard_params(state, mesh, min_elements=train_c.tp_min_elements)
+        tp_report = count_sharded(
+            state.params, mesh, min_elements=train_c.tp_min_elements
+        )
+        logger.log(
+            f"[tp] mesh (data={n_data}, model={n_model}): "
+            f"{tp_report[0]} kernels sharded "
+            f"({tp_report[1]}/{tp_report[2]} elements)",
+            level=1,
+        )
+    else:
+        mesh = make_mesh(math.gcd(train_c.minibatch_size, n_avail))
+        state = jax.device_put(state, replicated_sharding(mesh))
     base_train_step = make_train_step(ext, model_c, train_c, idx_helper)
     base_eval_step = make_eval_step(
         ext, model_c, train_c, idx_helper, return_outputs=True
@@ -142,7 +188,18 @@ def train_config(
     # bf16); a training batch is an on-device gather from an index vector —
     # zero per-step host->device batch traffic (the reference paid a
     # blocking .to(device) copy per minibatch, train.py:207).
-    device_resident = bool(getattr(train_c, "dataset_cache_device", True))
+    # under multihost each host holds only its corpus shard, so the
+    # device-resident whole-corpus gather does not apply — hosts feed
+    # their local batch shards instead (make_global_batch)
+    device_resident = (
+        bool(getattr(train_c, "dataset_cache_device", True)) and not multihost
+    )
+    if multihost:
+        def place_batch(batch):
+            return make_global_batch(mesh, batch)
+    else:
+        def place_batch(batch):
+            return shard_batch(mesh, batch)
     if device_resident:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -264,8 +321,14 @@ def train_config(
         # figures every plot_period); skip their device->host fetch on
         # non-plot epochs — on tunneled accelerators the readback would
         # otherwise dominate the step time
+        # per-item device arrays (latents, v_out) are batch-sharded across
+        # ALL hosts' devices — fetching them is only possible when this
+        # process addresses every shard (process_count == 1)
+        single_process = jax.process_count() == 1
         collect_train_latents = (
-            epoch % train_c.plot_period == 0 and logger.tensorboard is not None
+            epoch % train_c.plot_period == 0
+            and logger.tensorboard is not None
+            and single_process
         )
 
         def _flush():
@@ -295,7 +358,7 @@ def train_config(
                     jnp.float32(beta),
                 )
             else:
-                xb, vb, ib = shard_batch(mesh, batch)
+                xb, vb, ib = place_batch(batch)
                 state, m = train_step(
                     state, xb, vb, ib, rng_key, jnp.float32(beta)
                 )
@@ -325,7 +388,9 @@ def train_config(
 
         # ---- validation (train.py:261-293)
         should_plot = (
-            epoch % train_c.plot_period == 0 and logger.tensorboard is not None
+            epoch % train_c.plot_period == 0
+            and logger.tensorboard is not None
+            and single_process
         )
         v_errors, first_batch_plot = [], None
         if device_resident:
@@ -341,7 +406,7 @@ def train_config(
                 x = info = None
             else:
                 x, v, info = batch
-                xb, vb, ib = shard_batch(mesh, (x, v, info))
+                xb, vb, ib = place_batch((x, v, info))
                 m = eval_step(state, xb, vb, ib)
             # the final batch is cyclically padded to the static batch shape;
             # weight its (padded-)mean by the real item count and drop the
@@ -351,10 +416,12 @@ def train_config(
             w = n_real / bs
             for name in TRAIN_SCALARS:
                 scalars[name + "/Valid"].append(m[name], weight=w)
-            lat = m["latents"]
-            scalars["LatCorr/Valid"].append(
-                np.asarray(lat["z0_mu"])[:n_real], np.asarray(lat["z0"])[:n_real]
-            )
+            if single_process:
+                lat = m["latents"]
+                scalars["LatCorr/Valid"].append(
+                    np.asarray(lat["z0_mu"])[:n_real],
+                    np.asarray(lat["z0"])[:n_real],
+                )
             if should_plot:
                 v_errors.append(
                     (np.asarray(m["v_out"]) - np.asarray(v))[:n_real]
@@ -419,7 +486,10 @@ def train_config(
                 ("Controls/QLoss/Valid_", "Controls/QLoss/Valid"),
                 ("Controls/Accuracy/Valid_", "Controls/Accuracy/Valid"),
             ):
-                metrics[k_m].append(scalars[k_s].get())
+                try:
+                    metrics[k_m].append(scalars[k_s].get())
+                except ValueError:
+                    pass  # LatCorr is not collected on multi-host jobs
             logger.tensorboard.update_metrics(metrics)
 
         # ---- checkpoints (train.py:323-325)
@@ -440,6 +510,8 @@ def train_config(
         "early_stop": early_stop,
         "final_lr": get_learning_rate(state),
     }
+    if tp_report is not None:
+        summary["tp_kernels_sharded"] = tp_report[0]
     for name in TRAIN_SCALARS:
         try:
             summary[name + "/Valid"] = scalars[name + "/Valid"].get()

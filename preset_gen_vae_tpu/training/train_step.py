@@ -182,6 +182,9 @@ def make_train_step(
         and train_config.latent_flow_input_regularization.lower() == "dkl"
     )
     forward_controls = model_config.forward_controls_loss
+    flow_loss_train_bn = (
+        getattr(train_config, "flow_loss_bn_mode", "train") == "train"
+    )
 
     def _forward(params, batch_stats, x_in, sample_info, k_samp, k_drop):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -207,6 +210,9 @@ def make_train_step(
             params, batch_stats, x_in, sample_info, k_samp, k_drop
         )
         z0_mu_logvar, z0, zK, logdet, x_out, v_out = outs
+        # mutable cell: the FlowParamsLoss train-mode inverse chains further
+        # batch_stats updates off the forward's (reference semantics)
+        aux_batch_stats_ref = {"bs": mutated["batch_stats"]}
 
         recons = _recons_loss(x_out, x_in, train_config.normalize_losses)
         lat = _latent_loss(model_config, train_config, z0_mu_logvar, z0, zK, logdet)
@@ -222,16 +228,46 @@ def make_train_step(
         else:
             # FlowParamsLoss (reference: loss.py:318-346): pull the target
             # preset back through reg flow then latent flow; score under
-            # q(z0). Inverse passes run eval-mode BN (running stats) — the
-            # flows are only invertible in eval mode (VAE.py:122 note).
-            zK_t, logdet_U = model.apply(
-                variables, v_in, train=False,
-                method=model.regression_flow_inverse,
-            )
-            z0_t, logdet_T = model.apply(
-                variables, zK_t, train=False,
-                method=model.latent_flow_inverse,
-            )
+            # q(z0).
+            #
+            # flow_loss_bn_mode selects the inverse-pass BN semantics:
+            #  - "train" (reference parity): conditioner BN uses batch
+            #    statistics, dropout is active, and the flows' running
+            #    stats update a second time after the forward pass —
+            #    exactly what the reference's train-mode nflows inverse
+            #    does. The mutations chain off the forward's batch_stats.
+            #  - "eval": running statistics, no dropout. The flows are only
+            #    strictly invertible in this mode (VAE.py:122 note).
+            # The measured comparison behind the default is documented in
+            # PARITY.md.
+            if flow_loss_train_bn:
+                k_inv_u, k_inv_t = jax.random.split(
+                    jax.random.fold_in(k_drop, 1)
+                )
+                vars1 = {"params": params,
+                         "batch_stats": aux_batch_stats_ref["bs"]}
+                (zK_t, logdet_U), mut1 = model.apply(
+                    vars1, v_in, train=True,
+                    method=model.regression_flow_inverse,
+                    rngs={"dropout": k_inv_u}, mutable=["batch_stats"],
+                )
+                vars2 = {"params": params,
+                         "batch_stats": mut1["batch_stats"]}
+                (z0_t, logdet_T), mut2 = model.apply(
+                    vars2, zK_t, train=True,
+                    method=model.latent_flow_inverse,
+                    rngs={"dropout": k_inv_t}, mutable=["batch_stats"],
+                )
+                aux_batch_stats_ref["bs"] = mut2["batch_stats"]
+            else:
+                zK_t, logdet_U = model.apply(
+                    variables, v_in, train=False,
+                    method=model.regression_flow_inverse,
+                )
+                z0_t, logdet_T = model.apply(
+                    variables, zK_t, train=False,
+                    method=model.latent_flow_inverse,
+                )
             logp = gaussian_log_probability(
                 z0_t, z0_mu_logvar[:, 0, :], z0_mu_logvar[:, 1, :]
             )
@@ -239,7 +275,7 @@ def make_train_step(
 
         aux = {
             "outs": outs,
-            "batch_stats": mutated["batch_stats"],
+            "batch_stats": aux_batch_stats_ref["bs"],
             "recons": recons,
             "lat": lat,
             "flow_in_reg": flow_in_reg,

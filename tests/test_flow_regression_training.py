@@ -23,7 +23,11 @@ def helper():
 
 
 @pytest.mark.slow
-def test_flow_params_loss_training_decreases(helper):
+@pytest.mark.parametrize("bn_mode", ["train", "eval"])
+def test_flow_params_loss_training_decreases(helper, bn_mode):
+    """'train': reference-parity inverse (batch-stat BN + dropout, running
+    stats updated twice per step); 'eval': running-stat inverse. Both must
+    receive gradients and decrease."""
     L = helper.learnable_preset_size
     model_c = cfg.ModelConfig(
         latent_flow_arch="realnvp_2l32",
@@ -31,7 +35,8 @@ def test_flow_params_loss_training_decreases(helper):
         dim_z=L,
         forward_controls_loss=False,  # inverse-flow loss path
     )
-    train_c = cfg.TrainConfig(minibatch_size=8, compute_dtype="float32")
+    train_c = cfg.TrainConfig(minibatch_size=8, compute_dtype="float32",
+                              flow_loss_bn_mode=bn_mode)
     model_c, train_c = cfg.resolve(model_c, train_c)
     model_c = dataclasses.replace(
         model_c, learnable_params_tensor_length=L, synth_params_count=L

@@ -161,6 +161,10 @@ class EvalConfig:
     load_from_archives: bool = False
     multiprocess_cores_ratio: float = 0.1
     epoch: int = -1
+    # 'cpp' = host C++ thread-pool render (reference-like); 'jax' = batched
+    # on-device render through synth/fm_jax.py (both GT and inferred presets
+    # go through the same engine)
+    audio_render_backend: str = "cpp"
 
 
 def resolve(model: ModelConfig, train: TrainConfig) -> Tuple[ModelConfig, TrainConfig]:

@@ -173,18 +173,39 @@ def evaluate_model(
                                          "mfcc13_mae", "mfcc40_mae")}
         B = 32
         renderer = dataset._renderer
+        use_jax_render = (
+            getattr(eval_config, "audio_render_backend", "cpp") == "jax"
+        )
+        if use_jax_render:
+            # on-device batched render (synth/fm_jax.py): both GT and
+            # inferred presets go through the SAME engine so the similarity
+            # metrics measure preset error, not engine mismatch (the JAX
+            # engine golden-matches the C++ one at ~2e-5 MAE regardless)
+            from ..synth import fm_jax
+
+        def _render(presets, pitches, vels):
+            if use_jax_render:
+                return fm_jax.render_batch(
+                    jnp.asarray(presets), jnp.asarray(pitches),
+                    jnp.asarray(vels),
+                    note_on_s=float(renderer.note_duration[0]),
+                    total_s=float(renderer.total_seconds),
+                    sample_rate=renderer.Fs,
+                )
+            # threaded C++ batch render (reference used one VST process per
+            # item in a multiprocessing.Pool, eval.py:190-199)
+            return jnp.asarray(renderer.render_batch(presets, pitches, vels))
+
         for s in range(0, len(inferred_full), B):
             fi = inferred_full[s : s + B]
             ii = info_cat[s : s + B]
             gt_presets = np.stack(
                 [dataset.get_full_preset_params(int(u)) for u in ii[:, 0]]
             )
-            # threaded C++ batch render (reference used one VST process per
-            # item in a multiprocessing.Pool, eval.py:190-199)
-            gt = renderer.render_batch(gt_presets, ii[:, 1], ii[:, 2])
-            est = renderer.render_batch(fi, ii[:, 1], ii[:, 2])
+            gt = _render(gt_presets, ii[:, 1], ii[:, 2])
+            est = _render(fi, ii[:, 1], ii[:, 2])
             errs = batched_audio_errors(
-                jnp.asarray(gt), jnp.asarray(est),
+                gt, est,
                 model_c.stft_args[0], model_c.stft_args[1],
                 model_c.sampling_rate,
             )

@@ -124,3 +124,40 @@ def test_mean_std_normalization_mode(tmp_path):
     x = ds.corpus_tensors()["x"]
     assert abs(float(x.mean())) < 0.05  # standardized
     assert 0.8 < float(x.std()) < 1.2
+
+
+@pytest.mark.skipif(not engine_available(), reason="libdx7.so not built")
+@pytest.mark.slow
+def test_evaluate_model_jax_render_backend(tmp_path):
+    """audio_render_backend='jax': audio similarity computed from the
+    on-device differentiable engine; metrics agree with the C++ backend
+    (the two engines golden-match at ~2e-5 waveform MAE)."""
+    ds = DexedDataset(
+        n_synthetic_presets=24, synthetic_seed=9, data_root=tmp_path / "data"
+    )
+    model_c = cfg.ModelConfig(
+        name="EvalVAE", run_name="ej", latent_flow_arch=None,
+        params_regression_architecture="mlp_2l64", dim_z=16,
+        logs_root_dir=str(tmp_path / "saved"),
+    )
+    train_c = cfg.TrainConfig(
+        minibatch_size=8, n_epochs=1, save_period=10, lr_warmup_epochs=0,
+        compute_dtype="float32", verbosity=0,
+    )
+    train_config(model_c, train_c, dataset=ds, use_tensorboard=False)
+    df_cpp = evaluate_model(
+        model_c, train_c,
+        cfg.EvalConfig(dataset="validation", audio_render_backend="cpp",
+                       override_previous_eval=True),
+        dataset=ds,
+    )
+    df_jax = evaluate_model(
+        model_c, train_c,
+        cfg.EvalConfig(dataset="validation", audio_render_backend="jax",
+                       override_previous_eval=True),
+        dataset=ds,
+    )
+    for col in ("spec_mae", "mfcc13_mae", "mfcc40_mae"):
+        a = np.asarray(df_cpp[col], dtype=float)
+        b = np.asarray(df_jax[col], dtype=float)
+        np.testing.assert_allclose(b, a, rtol=0.08, atol=0.02)

@@ -51,6 +51,8 @@ H, W = 257, 347
 
 
 def measure_jax_cpu() -> float:
+    import dataclasses
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -59,6 +61,9 @@ def measure_jax_cpu() -> float:
     from preset_gen_vae_tpu.training import create_train_state, make_train_step
 
     model_c, train_c, helper = _flagship_configs()
+    # f32 on CPU: bf16 is emulated (slow) on the host backend, and the torch
+    # anchor runs f32 — keep the same arithmetic on both sides
+    train_c = dataclasses.replace(train_c, compute_dtype="float32")
     _, _, _, ext = mbuild.build_extended_ae_model(model_c, train_c, helper)
     variables = mbuild.init_extended_ae(ext, 0, model_c.input_tensor_size)
     state = create_train_state(ext, variables, train_c)

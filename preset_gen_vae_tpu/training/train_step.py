@@ -144,6 +144,62 @@ def build_criteria(
     return crits
 
 
+# FlowParamsLoss numerical guard. At init, pulling the target preset back
+# through 12 inverse coupling layers can amplify magnitudes geometrically
+# (each inverse multiplies deviations by up to 1/s_min = 1e3), until the
+# Gaussian log-prob overflows f32 — measured on the flagship (dim_z=610,
+# realnvp_6l300): per-item log-densities of -1e30 ('train' BN mode) and
+# -inf -> NaN divergence ('eval' mode). The reference's formula
+# (loss.py:318-346) has the same pathology; it just never NaN-checked this
+# config at scale. Guard: clip the pulled-back values and floor the
+# per-item log-density — items in the sane range keep exact reference
+# semantics AND gradients; catastrophic items contribute a bounded constant
+# (zero gradient) instead of inf. Deviation documented in PARITY.md.
+_PULLBACK_CLIP = 1e4
+_FLOW_LOSS_FLOOR = -1e8
+
+
+def _flow_controls_loss(model, variables, v_in, z0_mu_logvar, train_mode,
+                        rng_pair=None):
+    """The FlowParamsLoss 'cont' term (reference loss.py:318-346), shared by
+    the train- and eval-step builders. When ``train_mode`` the inverse
+    passes run batch-stat BN + dropout and the chained batch_stats mutations
+    are returned (reference nflows train-mode semantics); else running-stat
+    eval mode. Returns (cont, new_batch_stats_or_None)."""
+    new_bs = None
+    if train_mode:
+        k_u, k_t = rng_pair
+        (zK_t, logdet_U), mut1 = model.apply(
+            variables, v_in, train=True,
+            method=model.regression_flow_inverse,
+            rngs={"dropout": k_u}, mutable=["batch_stats"],
+        )
+        zK_t = jnp.clip(zK_t, -_PULLBACK_CLIP, _PULLBACK_CLIP)
+        vars2 = {"params": variables["params"],
+                 "batch_stats": mut1["batch_stats"]}
+        (z0_t, logdet_T), mut2 = model.apply(
+            vars2, zK_t, train=True,
+            method=model.latent_flow_inverse,
+            rngs={"dropout": k_t}, mutable=["batch_stats"],
+        )
+        new_bs = mut2["batch_stats"]
+    else:
+        zK_t, logdet_U = model.apply(
+            variables, v_in, train=False,
+            method=model.regression_flow_inverse,
+        )
+        zK_t = jnp.clip(zK_t, -_PULLBACK_CLIP, _PULLBACK_CLIP)
+        z0_t, logdet_T = model.apply(
+            variables, zK_t, train=False, method=model.latent_flow_inverse,
+        )
+    z0_t = jnp.clip(z0_t, -_PULLBACK_CLIP, _PULLBACK_CLIP)
+    logp = gaussian_log_probability(
+        z0_t, z0_mu_logvar[:, 0, :], z0_mu_logvar[:, 1, :]
+    )
+    per_item = jnp.maximum(logp + logdet_T + logdet_U, _FLOW_LOSS_FLOOR)
+    return -jnp.mean(per_item) / 1000.0, new_bs
+
+
 def _recons_loss(x_out, x_in, normalize: bool):
     if normalize:
         return jnp.mean(jnp.square(x_out - x_in))
@@ -241,37 +297,17 @@ def make_train_step(
             # The measured comparison behind the default is documented in
             # PARITY.md.
             if flow_loss_train_bn:
-                k_inv_u, k_inv_t = jax.random.split(
-                    jax.random.fold_in(k_drop, 1)
-                )
                 vars1 = {"params": params,
                          "batch_stats": aux_batch_stats_ref["bs"]}
-                (zK_t, logdet_U), mut1 = model.apply(
-                    vars1, v_in, train=True,
-                    method=model.regression_flow_inverse,
-                    rngs={"dropout": k_inv_u}, mutable=["batch_stats"],
+                cont, new_bs = _flow_controls_loss(
+                    model, vars1, v_in, z0_mu_logvar, train_mode=True,
+                    rng_pair=jax.random.split(jax.random.fold_in(k_drop, 1)),
                 )
-                vars2 = {"params": params,
-                         "batch_stats": mut1["batch_stats"]}
-                (z0_t, logdet_T), mut2 = model.apply(
-                    vars2, zK_t, train=True,
-                    method=model.latent_flow_inverse,
-                    rngs={"dropout": k_inv_t}, mutable=["batch_stats"],
-                )
-                aux_batch_stats_ref["bs"] = mut2["batch_stats"]
+                aux_batch_stats_ref["bs"] = new_bs
             else:
-                zK_t, logdet_U = model.apply(
-                    variables, v_in, train=False,
-                    method=model.regression_flow_inverse,
+                cont, _ = _flow_controls_loss(
+                    model, variables, v_in, z0_mu_logvar, train_mode=False,
                 )
-                z0_t, logdet_T = model.apply(
-                    variables, zK_t, train=False,
-                    method=model.latent_flow_inverse,
-                )
-            logp = gaussian_log_probability(
-                z0_t, z0_mu_logvar[:, 0, :], z0_mu_logvar[:, 1, :]
-            )
-            cont = -jnp.mean(logp + logdet_T + logdet_U) / 1000.0
 
         aux = {
             "outs": outs,
@@ -360,16 +396,9 @@ def make_eval_step(
         if forward_controls:
             cont = criteria["controls"](v_out, v_in)
         else:
-            zK_t, logdet_U = model.apply(
-                variables, v_in, train=False, method=model.regression_flow_inverse
+            cont, _ = _flow_controls_loss(
+                model, variables, v_in, z0_mu_logvar, train_mode=False,
             )
-            z0_t, logdet_T = model.apply(
-                variables, zK_t, train=False, method=model.latent_flow_inverse
-            )
-            logp = gaussian_log_probability(
-                z0_t, z0_mu_logvar[:, 0, :], z0_mu_logvar[:, 1, :]
-            )
-            cont = -jnp.mean(logp + logdet_T + logdet_U) / 1000.0
         aux = {
             "outs": outs,
             "recons": recons,

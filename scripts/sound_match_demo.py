@@ -31,15 +31,29 @@ from preset_gen_vae_tpu.synth.database import generate_structured_corpus
 
 SR = 22050
 NOTE_ON, TOTAL = 1.0, 1.5
-STEPS = 120
+STEPS = 400
 
 
-def mag_spec(w):
+def _mag(w, n_fft, hop):
     frames = jnp.stack(
-        [w[:, s : s + 1024] for s in range(0, w.shape[1] - 1024, 256)], axis=1
+        [w[:, s : s + n_fft] for s in range(0, w.shape[1] - n_fft, hop)],
+        axis=1,
     )
-    win = jnp.asarray(np.hanning(1024).astype(np.float32))
+    win = jnp.asarray(np.hanning(n_fft).astype(np.float32))
     return jnp.log1p(jnp.abs(jnp.fft.rfft(frames * win, axis=-1)))
+
+
+def spec_loss(w, targets):
+    """Multi-resolution log-magnitude loss (the DDSP recipe): the coarse
+    scale gives smooth gradients when partials are misaligned, the fine
+    scale sharpens the fit."""
+    return sum(
+        jnp.mean(jnp.square(_mag(w, n, h) - t))
+        for (n, h), t in zip(SCALES, targets)
+    )
+
+
+SCALES = ((1024, 256), (256, 64))
 
 
 def main() -> None:
@@ -53,29 +67,32 @@ def main() -> None:
             sample_rate=SR, feedback="unrolled", fb_iters=3,
         )
 
-    target = mag_spec(render(p_target))
+    targets = [_mag(render(p_target), n, h) for (n, h) in SCALES]
 
-    # corrupt: mute levels, shift fine tuning and EG levels
-    rng = np.random.default_rng(0)
+    # corrupt the timbre: mute/bend output levels and EG level shapes
     p = np.asarray(p_target).copy()
+    mask = np.zeros((1, p.shape[1]), dtype=np.float32)
     for op in range(6):
         b = 23 + 22 * op
         p[:, b + 8] *= 0.5                       # output level
-        p[:, b + 11] = rng.random()              # fine tune
-        p[:, b + 4 : b + 8] *= 0.7               # EG levels
+        p[:, b + 4 : b + 8] *= 0.6               # EG levels
+        mask[:, b + 4 : b + 9] = 1.0             # optimize exactly these
     p = jnp.asarray(p)
+    mask = jnp.asarray(mask)
 
     def loss_fn(p):
-        return jnp.mean(jnp.square(mag_spec(render(p)) - target))
+        return spec_loss(render(p), targets)
 
-    opt = optax.adam(1e-2)
+    opt = optax.adam(
+        optax.cosine_decay_schedule(2e-2, STEPS, alpha=0.02)
+    )
     state = opt.init(p)
 
     @jax.jit
     def step(p, s):
         loss, g = jax.value_and_grad(loss_fn)(p)
-        updates, s = opt.update(g, s, p)
-        return optax.apply_updates(p, updates), s, loss
+        updates, s = opt.update(g * mask, s, p)
+        return optax.apply_updates(p, updates * mask), s, loss
 
     l0 = float(loss_fn(p))
     t0 = time.time()

@@ -142,6 +142,11 @@ class TrainConfig:
     force_multihost_data: bool = False
     compute_dtype: str = "bfloat16"  # matmul/conv compute dtype on TPU
     dataset_cache_device: bool = True  # keep the spectrogram corpus in HBM
+    # >1: chain K train steps into ONE device dispatch (lax.scan over K
+    # index batches, device-resident corpus only). Identical math/PRNG
+    # stream to K=1 (the step folds its own rng from state.step); it only
+    # amortizes host dispatch — the bottleneck on weak-host machines.
+    steps_per_dispatch: int = 1
     remat: bool = False  # rematerialize the forward in backward (big batches)
     seed: int = 0
 

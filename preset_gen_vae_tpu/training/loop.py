@@ -194,6 +194,7 @@ def train_config(
     device_resident = (
         bool(getattr(train_c, "dataset_cache_device", True)) and not multihost
     )
+    K = max(1, int(getattr(train_c, "steps_per_dispatch", 1)))
     if multihost:
         def place_batch(batch):
             return make_global_batch(mesh, batch)
@@ -245,6 +246,19 @@ def train_config(
 
         train_step = jax.jit(_train_gather, donate_argnums=(0,))
         eval_step_g = jax.jit(_eval_gather)
+
+        # K-step dispatch: scan K index batches through the train step in
+        # one device call. Same math and PRNG stream as K dispatches (the
+        # step folds rng from state.step); cuts per-step host dispatch —
+        # the measured bottleneck on 1-core hosts (BENCH.md).
+        if K > 1:
+            def _train_scan(state, cx, cv, ci, idx_k, key, beta):
+                def body(st, idx):
+                    st, m = _train_gather(st, cx, cv, ci, idx, key, beta)
+                    return st, m
+                return jax.lax.scan(body, state, idx_k)
+
+            train_step_k = jax.jit(_train_scan, donate_argnums=(0,))
     else:
         train_step = jax.jit(base_train_step, donate_argnums=(0,))
     eval_step = jax.jit(base_eval_step)
@@ -336,22 +350,60 @@ def train_config(
                 m_host = jax.device_get(
                     {k: v for k, v in m_dev.items() if k != "latents"}
                 )
-                for name in TRAIN_SCALARS:
-                    scalars[name + "/Train"].append(m_host[name])
+                # K-step dispatches yield (K,)-stacked scalars; unstack so
+                # epoch means and NaN checks see every step
+                vals = {k: np.atleast_1d(v) for k, v in m_host.items()}
+                for j in range(len(vals["ReconsLoss/Backprop"])):
+                    for name in TRAIN_SCALARS:
+                        scalars[name + "/Train"].append(vals[name][j])
+                    check_nan_values(
+                        epoch, vals["ReconsLoss/Backprop"][j],
+                        vals["LatLoss"][j], vals["FlowInputReg"][j],
+                        vals["Controls/BackpropLoss"][j],
+                    )
                 if collect_train_latents:
                     lat = jax.device_get(m_dev["latents"])
-                    scalars["LatCorr/Train"].append(lat["z0_mu"], lat["z0"])
-                check_nan_values(
-                    epoch, m_host["ReconsLoss/Backprop"], m_host["LatLoss"],
-                    m_host["FlowInputReg"], m_host["Controls/BackpropLoss"],
-                )
+                    z0_mu, z0 = np.asarray(lat["z0_mu"]), np.asarray(lat["z0"])
+                    if z0_mu.ndim == 3:  # (K, B, z) -> (K*B, z)
+                        z0_mu = z0_mu.reshape(-1, z0_mu.shape[-1])
+                        z0 = z0.reshape(-1, z0.shape[-1])
+                    scalars["LatCorr/Train"].append(z0_mu, z0)
             pending.clear()
 
-        for i, batch in enumerate(
+        if device_resident and K > 1 and not profiling:
+            # K-step dispatch path: identical math to the per-step path
+            # (verified by test_steps_per_dispatch_matches); host dispatch
+            # count drops by K
+            beta_j = jnp.float32(beta)
+            buf, i = [], -1
+            flush_groups = max(1, FLUSH_EVERY // K)
+            for batch in loaders["train"].epoch_index_batches(epoch):
+                buf.append(batch)
+                if len(buf) == K:
+                    state, m = train_step_k(
+                        state, *corpus, jnp.asarray(np.stack(buf)),
+                        rng_key, beta_j,
+                    )
+                    buf = []
+                    pending.append(m)
+                    i += K
+                    if len(pending) >= flush_groups:
+                        _flush()
+                    logger.on_minibatch_finished(i)
+            for batch in buf:  # remainder: single-step dispatches
+                state, m = train_step(
+                    state, *corpus, jnp.asarray(batch), rng_key, beta_j
+                )
+                pending.append(m)
+                i += 1
+                logger.on_minibatch_finished(i)
+            _flush()
+        else:
+          for i, batch in enumerate(
             loaders["train"].epoch_index_batches(epoch)
             if device_resident
             else loaders["train"].epoch_batches(epoch)
-        ):
+          ):
             if device_resident:
                 state, m = train_step(
                     state, *corpus, jnp.asarray(batch), rng_key,
@@ -399,32 +451,31 @@ def train_config(
             val_iter = enumerate(loaders["validation"].epoch_batches(epoch))
         val_loader = loaders["validation"]
         bs = val_loader.batch_size
+        # All dispatch is async; NOTHING is fetched inside the loop — the
+        # per-batch scalar reads and latent pulls were the epoch bottleneck
+        # on tunneled chips (each float(jax_scalar) is a blocking
+        # round-trip, and the latent matrices ride the slow device->host
+        # direction; BENCH.md "Notes"). Device references accumulate and
+        # ONE bulk device_get runs after the loop; latents transfer as f16
+        # (rank statistics are unaffected by the cast).
+        val_scal_dev, val_lat_dev = [], []
         for i, batch in val_iter:
             if device_resident:
                 m, v = eval_step_g(state, *corpus, jnp.asarray(batch))
-                v = np.asarray(v)
                 x = info = None
             else:
                 x, v, info = batch
                 xb, vb, ib = place_batch((x, v, info))
                 m = eval_step(state, xb, vb, ib)
-            # the final batch is cyclically padded to the static batch shape;
-            # weight its (padded-)mean by the real item count and drop the
-            # padded rows from latent stats so validation means match the
-            # reference's exact per-item means (train.py:261-293)
-            n_real = min(bs, val_loader.n_items - i * bs)
-            w = n_real / bs
-            for name in TRAIN_SCALARS:
-                scalars[name + "/Valid"].append(m[name], weight=w)
+            val_scal_dev.append({k: m[k] for k in TRAIN_SCALARS})
             if single_process:
-                lat = m["latents"]
-                scalars["LatCorr/Valid"].append(
-                    np.asarray(lat["z0_mu"])[:n_real],
-                    np.asarray(lat["z0"])[:n_real],
-                )
+                val_lat_dev.append(jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.float16), m["latents"]
+                ))
             if should_plot:
                 v_errors.append(
-                    (np.asarray(m["v_out"]) - np.asarray(v))[:n_real]
+                    (np.asarray(m["v_out"]) - np.asarray(v))[:min(
+                        bs, val_loader.n_items - i * bs)]
                 )
                 if i == 0:
                     if x is None:
@@ -434,6 +485,23 @@ def train_config(
                         ))
                         x, info = sel["x"][bsel], sel["info"][bsel]
                     first_batch_plot = (x, np.asarray(m["x_out"]), info)
+        val_scal = jax.device_get(val_scal_dev)
+        val_lat = jax.device_get(val_lat_dev) if val_lat_dev else []
+        for i, mh in enumerate(val_scal):
+            # the final batch is cyclically padded to the static batch
+            # shape; weight its (padded-)mean by the real item count and
+            # drop padded rows from latent stats so validation means match
+            # the reference's exact per-item means (train.py:261-293)
+            n_real = min(bs, val_loader.n_items - i * bs)
+            w = n_real / bs
+            for name in TRAIN_SCALARS:
+                scalars[name + "/Valid"].append(mh[name], weight=w)
+        for i, lh in enumerate(val_lat):
+            n_real = min(bs, val_loader.n_items - i * bs)
+            scalars["LatCorr/Valid"].append(
+                np.asarray(lh["z0_mu"], dtype=np.float32)[:n_real],
+                np.asarray(lh["z0"], dtype=np.float32)[:n_real],
+            )
         scalars["VAELoss/Valid"] = logmetrics.SimpleMetric(
             scalars["ReconsLoss/Backprop/Valid"].get()
             + scalars["LatLoss/Valid"].get()

@@ -153,3 +153,20 @@ def test_training_reproducibility(tiny_dataset, tmp_path):
     for k in ("ReconsLoss/Backprop/Valid", "LatLoss/Valid",
               "Controls/BackpropLoss/Valid"):
         assert results[0][k] == results[1][k], k
+
+
+@pytest.mark.slow
+def test_steps_per_dispatch_matches(tiny_dataset, tmp_path):
+    """steps_per_dispatch=4 (K-step lax.scan dispatch) reproduces the
+    per-step path bit-for-bit: same PRNG stream (the step folds rng from
+    state.step), same shuffles, same final losses."""
+    model_a, train_a = _configs(tmp_path, run_name="k1", n_epochs=2)
+    sa = train_config(model_a, train_a, dataset=tiny_dataset,
+                      use_tensorboard=False)
+    model_b, train_b = _configs(tmp_path, run_name="k4", n_epochs=2)
+    train_b = dataclasses.replace(train_b, steps_per_dispatch=4)
+    sb = train_config(model_b, train_b, dataset=tiny_dataset,
+                      use_tensorboard=False)
+    for k in ("ReconsLoss/Backprop/Valid", "LatLoss/Valid",
+              "Controls/BackpropLoss/Valid", "Controls/Accuracy/Valid"):
+        assert sa[k] == sb[k], f"{k}: {sa[k]} vs {sb[k]}"

@@ -259,6 +259,26 @@ def train_config(
                 return jax.lax.scan(body, state, idx_k)
 
             train_step_k = jax.jit(_train_scan, donate_argnums=(0,))
+
+            # whole-validation scan (non-plot epochs): every eval batch in
+            # ONE dispatch, scalars + f16 latents stacked on device
+            base_eval_nout = make_eval_step(
+                ext, model_c, train_c, idx_helper, return_outputs=False
+            )
+
+            def _eval_scan(state, cx, cv, ci, idx_all):
+                def body(_, idx):
+                    x, v, info = _gather(cx, cv, ci, idx)
+                    m = base_eval_nout(state, x, v, info)
+                    lat = jax.tree_util.tree_map(
+                        lambda a: a.astype(jnp.float16), m["latents"]
+                    )
+                    return 0, ({k: m[k] for k in TRAIN_SCALARS}, lat)
+
+                _, out = jax.lax.scan(body, 0, idx_all)
+                return out
+
+            eval_scan = jax.jit(_eval_scan)
     else:
         train_step = jax.jit(base_train_step, donate_argnums=(0,))
     eval_step = jax.jit(base_eval_step)
@@ -459,6 +479,24 @@ def train_config(
         # ONE bulk device_get runs after the loop; latents transfer as f16
         # (rank statistics are unaffected by the cast).
         val_scal_dev, val_lat_dev = [], []
+        if device_resident and K > 1 and not should_plot:
+            # whole-validation scan: one dispatch + one bulk fetch
+            idx_all = np.stack(
+                list(loaders["validation"].epoch_index_batches(epoch))
+            )
+            scal_st, lat_st = jax.device_get(
+                eval_scan(state, *corpus, jnp.asarray(idx_all))
+            )
+            for i in range(idx_all.shape[0]):
+                n_real = min(bs, val_loader.n_items - i * bs)
+                w = n_real / bs
+                for name in TRAIN_SCALARS:
+                    scalars[name + "/Valid"].append(scal_st[name][i], weight=w)
+                scalars["LatCorr/Valid"].append(
+                    np.asarray(lat_st["z0_mu"][i], dtype=np.float32)[:n_real],
+                    np.asarray(lat_st["z0"][i], dtype=np.float32)[:n_real],
+                )
+            val_iter = ()
         for i, batch in val_iter:
             if device_resident:
                 m, v = eval_step_g(state, *corpus, jnp.asarray(batch))

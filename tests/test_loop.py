@@ -157,9 +157,12 @@ def test_training_reproducibility(tiny_dataset, tmp_path):
 
 @pytest.mark.slow
 def test_steps_per_dispatch_matches(tiny_dataset, tmp_path):
-    """steps_per_dispatch=4 (K-step lax.scan dispatch) reproduces the
-    per-step path bit-for-bit: same PRNG stream (the step folds rng from
-    state.step), same shuffles, same final losses."""
+    """steps_per_dispatch=4 (K-step lax.scan dispatch + whole-validation
+    scan) reproduces the per-step path: same PRNG stream (the step folds
+    rng from state.step), same shuffles, same losses. Training is
+    bit-exact; validation scalars come from a *scanned* eval graph whose
+    XLA fusion rounds reductions differently at the ~1e-7 level, so the
+    comparison is float-tolerance, not bitwise."""
     model_a, train_a = _configs(tmp_path, run_name="k1", n_epochs=2)
     sa = train_config(model_a, train_a, dataset=tiny_dataset,
                       use_tensorboard=False)
@@ -169,4 +172,6 @@ def test_steps_per_dispatch_matches(tiny_dataset, tmp_path):
                       use_tensorboard=False)
     for k in ("ReconsLoss/Backprop/Valid", "LatLoss/Valid",
               "Controls/BackpropLoss/Valid", "Controls/Accuracy/Valid"):
-        assert sa[k] == sb[k], f"{k}: {sa[k]} vs {sb[k]}"
+        assert np.isclose(sa[k], sb[k], rtol=1e-5, atol=1e-7), (
+            f"{k}: {sa[k]} vs {sb[k]}"
+        )

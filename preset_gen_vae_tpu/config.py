@@ -170,6 +170,15 @@ class EvalConfig:
     # on-device render through synth/fm_jax.py (both GT and inferred presets
     # go through the same engine)
     audio_render_backend: str = "cpp"
+    # feedback solve for the 'jax' backend: 'unrolled' (fast fixed-point
+    # approximation, fb_iters=3) or 'exact' (per-sample scan, matches the
+    # C++ engine's feedback path closely but renders much slower)
+    audio_render_feedback: str = "unrolled"
+    # reuse ground-truth renders across evals (C++ backend only): GT audio
+    # for the eval split is rendered once and disk-cached keyed by
+    # (item set, engine version, sample rate) — the reference reads
+    # pre-rendered GT wavs instead of re-rendering (eval.py:257-259)
+    cache_gt_audio: bool = True
 
 
 def resolve(model: ModelConfig, train: TrainConfig) -> Tuple[ModelConfig, TrainConfig]:

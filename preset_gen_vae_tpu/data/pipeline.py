@@ -34,6 +34,7 @@ class SplitLoader:
         drop_last: bool,
         seed: int = 0,
         pad_to_full: bool = False,
+        batch_weights: Optional[np.ndarray] = None,
     ):
         self.tensors = tensors
         self.item_indexes = np.asarray(item_indexes)
@@ -46,6 +47,14 @@ class SplitLoader:
         # mesh-divisible (XLA recompiles per shape; ragged final batches
         # would also break the data-axis sharding).
         self.pad_to_full = pad_to_full
+        # batch_weights: optional per-batch real-item fraction override.
+        # Multi-host loaders set this from GLOBAL counts: host shards are
+        # equalized by cyclic padding, so a host's local (n_items, batch)
+        # arithmetic no longer reflects how many real items the global
+        # batch carries (parallel/multihost.py).
+        self.batch_weights = (
+            None if batch_weights is None else np.asarray(batch_weights, float)
+        )
 
     def __len__(self):
         n = len(self.item_indexes)
@@ -56,6 +65,16 @@ class SplitLoader:
     @property
     def n_items(self) -> int:
         return len(self.item_indexes)
+
+    def batch_weight(self, i: int) -> float:
+        """Fraction of batch ``i``'s rows that are real (not cyclic
+        padding). Validation means are weighted by this so padded rows
+        never count (reference evaluates exact per-item means,
+        train.py:261-293)."""
+        if self.batch_weights is not None:
+            return float(self.batch_weights[i])
+        n_real = min(self.batch_size, self.n_items - i * self.batch_size)
+        return max(n_real, 0) / self.batch_size
 
     def epoch_index_batches(self, epoch: int = 0) -> Iterator[np.ndarray]:
         """Index-only batches — the device-resident pipeline gathers the

@@ -41,6 +41,46 @@ from ..training.train_step import create_train_state
 from .similarity import batched_audio_errors
 
 
+def _gt_audio_cached(dataset, renderer, info_cat: np.ndarray) -> np.ndarray:
+    """Ground-truth audio for the eval items, from a disk cache (memmap)
+    keyed by (item set, engine version, sample rate, note durations).
+
+    First eval renders GT once through the C++ engine and stores f32;
+    every later eval of the same split mmaps it — bit-identical to a fresh
+    render (the engine is deterministic; engine semantic changes bump
+    ``dx7_engine_version()`` which changes the key). Counterpart of the
+    reference reading pre-rendered GT wavs (eval.py:257-259)."""
+    import hashlib
+
+    from ..synth.render import engine_version
+
+    key_src = np.ascontiguousarray(info_cat, dtype=np.int64).tobytes() + (
+        f"|v{engine_version()}|fs{renderer.Fs}"
+        f"|nd{renderer.note_duration[0]}-{renderer.note_duration[1]}"
+    ).encode()
+    key = hashlib.sha1(key_src).hexdigest()[:16]
+    cache_dir = dataset._corpus_cache_dir() / "gt_eval_audio"
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    path = cache_dir / f"gt_{key}.npy"
+    if path.exists():
+        return np.load(path, mmap_mode="r")
+    n = len(info_cat)
+    out = np.empty((n, renderer.samples_per_render), dtype=np.float32)
+    B = 256
+    for s in range(0, n, B):
+        ii = info_cat[s : s + B]
+        presets = np.stack(
+            [dataset.get_full_preset_params(int(u)) for u in ii[:, 0]]
+        )
+        out[s : s + len(ii)] = renderer.render_batch(
+            presets, ii[:, 1], ii[:, 2]
+        )
+    tmp = path.with_suffix(".tmp.npy")
+    np.save(tmp, out)
+    tmp.rename(path)
+    return out
+
+
 def evaluate_all_models(
     eval_config: cfg.EvalConfig, saved_root="/root/repo/saved", dataset=None
 ) -> List[pd.DataFrame]:
@@ -179,9 +219,17 @@ def evaluate_model(
         if use_jax_render:
             # on-device batched render (synth/fm_jax.py): both GT and
             # inferred presets go through the SAME engine so the similarity
-            # metrics measure preset error, not engine mismatch (the JAX
-            # engine golden-matches the C++ one at ~2e-5 MAE regardless)
+            # metrics measure preset error, not engine mismatch. Fidelity vs
+            # the C++ engine depends on the feedback solve (measured by
+            # tests/test_fm_jax.py): 'exact' matches within ~2e-3 MAE /
+            # 15% max relative deviation; the default 'unrolled' fixed-point
+            # approximation agrees with 'exact' within 0.05 MAE on
+            # feedback-heavy presets (and is exact when feedback is 0).
             from ..synth import fm_jax
+
+        feedback_mode = getattr(
+            eval_config, "audio_render_feedback", "unrolled"
+        )
 
         def _render(presets, pitches, vels):
             if use_jax_render:
@@ -191,18 +239,35 @@ def evaluate_model(
                     note_on_s=float(renderer.note_duration[0]),
                     total_s=float(renderer.total_seconds),
                     sample_rate=renderer.Fs,
+                    feedback=feedback_mode,
                 )
             # threaded C++ batch render (reference used one VST process per
             # item in a multiprocessing.Pool, eval.py:190-199)
             return jnp.asarray(renderer.render_batch(presets, pitches, vels))
 
+        # ---- ground-truth renders: served from a disk cache for the C++
+        # backend — the engine is deterministic, so a cached render is
+        # bit-identical to a fresh one, and GT was ~half of every eval's
+        # render work. The reference likewise reads pre-rendered GT wavs
+        # (eval.py:257-259). The 'jax' backend keeps same-engine re-render
+        # so GT and inferred audio share one engine.
+        gt_cache = None
+        if (
+            not use_jax_render
+            and getattr(eval_config, "cache_gt_audio", True)
+        ):
+            gt_cache = _gt_audio_cached(dataset, renderer, info_cat)
+
         for s in range(0, len(inferred_full), B):
             fi = inferred_full[s : s + B]
             ii = info_cat[s : s + B]
-            gt_presets = np.stack(
-                [dataset.get_full_preset_params(int(u)) for u in ii[:, 0]]
-            )
-            gt = _render(gt_presets, ii[:, 1], ii[:, 2])
+            if gt_cache is not None:
+                gt = jnp.asarray(np.asarray(gt_cache[s : s + B]))
+            else:
+                gt_presets = np.stack(
+                    [dataset.get_full_preset_params(int(u)) for u in ii[:, 0]]
+                )
+                gt = _render(gt_presets, ii[:, 1], ii[:, 2])
             est = _render(fi, ii[:, 1], ii[:, 2])
             errs = batched_audio_errors(
                 gt, est,

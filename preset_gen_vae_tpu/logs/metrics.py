@@ -51,6 +51,10 @@ class EpochMetric:
         self._sum += float(value) * float(weight)
         self._count += weight
 
+    @property
+    def has_data(self) -> bool:
+        return self._count != 0
+
     def get(self) -> float:
         if self._count == 0:
             raise ValueError("No values were appended this epoch")
@@ -112,6 +116,12 @@ class LatentMetric:
         self._mu_chunks.append(np.asarray(z_mu))
         self._z_chunks.append(np.asarray(z_sampled))
         self._r = self._p = None
+
+    @property
+    def has_data(self) -> bool:
+        """True once >=2 latent rows were appended this epoch (LatCorr is
+        only collected on plot epochs, and never on multi-host jobs)."""
+        return sum(c.shape[0] for c in self._mu_chunks) >= 2
 
     def get_z(self, kind: str) -> np.ndarray:
         chunks = self._mu_chunks if kind == "mu" else self._z_chunks

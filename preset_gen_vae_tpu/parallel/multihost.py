@@ -61,12 +61,50 @@ def host_item_range(n_items: int) -> Tuple[int, int]:
     return start, end
 
 
+def _equalized_shard_sizes(n_items: int, n_hosts: int) -> Tuple[np.ndarray, int]:
+    """(real per-host shard sizes, common padded size). Host shards from
+    ``host_item_range`` can differ by 1 item; every host is cyclically
+    padded up to the max so all hosts run IDENTICAL epoch batch counts —
+    otherwise hosts issue different numbers of collective dispatches per
+    epoch and the pod job desyncs at the epoch boundary."""
+    per, extra = divmod(n_items, n_hosts)
+    real = np.array(
+        [per + (1 if q < extra else 0) for q in range(n_hosts)], dtype=np.int64
+    )
+    return real, int(real.max())
+
+
+def _global_batch_weights(
+    real_sizes: np.ndarray, common: int, local_bs: int, drop_last: bool
+) -> np.ndarray:
+    """Per-global-batch fraction of REAL rows, counting every host's shard.
+    Batch i of the global batch concatenates each host's local batch i;
+    padded rows (shard equalization + final-batch cyclic padding) must not
+    count toward validation means."""
+    if drop_last:
+        n_batches = common // local_bs
+    else:
+        n_batches = (common + local_bs - 1) // local_bs
+    w = np.empty(n_batches, dtype=np.float64)
+    slots = local_bs * len(real_sizes)
+    for i in range(n_batches):
+        real = np.clip(real_sizes - i * local_bs, 0, local_bs).sum()
+        w[i] = real / slots
+    return w
+
+
 def shard_loaders_for_host(loaders, force: bool = False):
     """Per-host data sharding: carves every split loader down to this
     host's contiguous ``host_item_range`` of items (so no host loads the
     full corpus) and divides the batch size by ``process_count`` (so each
     host serves exactly its local shard of the global batch —
     ``make_global_batch`` assembles the rest).
+
+    Host shards are equalized to a common item count by cyclic padding
+    (``_equalized_shard_sizes``), so every host runs the same number of
+    batches per epoch — per-host batch-count divergence would desync the
+    pod's collectives. Validation weights come from the GLOBAL real-item
+    counts via ``SplitLoader.batch_weights``.
 
     Per-host epoch shuffles run over *disjoint* item sets, so the global
     batch is a concatenation of independent per-host samples — the
@@ -88,7 +126,9 @@ def shard_loaders_for_host(loaders, force: bool = False):
                 f"process_count {n}"
             )
         s, e = host_item_range(ld.n_items)
-        local = np.asarray(ld.item_indexes[s:e])
+        real_sizes, common = _equalized_shard_sizes(ld.n_items, n)
+        # cyclic-pad this host's item list to the common per-host size
+        local = np.resize(np.asarray(ld.item_indexes[s:e]), common)
         # slice the corpus rows this host actually serves; remap the
         # split's global row ids into the local tensors
         rows = np.unique(local)
@@ -96,15 +136,20 @@ def shard_loaders_for_host(loaders, force: bool = False):
                         dtype=np.int64)
         remap[rows] = np.arange(len(rows))
         tensors = {k: np.asarray(t)[rows] for k, t in ld.tensors.items()}
+        local_bs = ld.batch_size // n
         out[name] = SplitLoader(
             tensors,
             remap[local],
-            batch_size=ld.batch_size // n,
+            batch_size=local_bs,
             shuffle=ld.shuffle,
             drop_last=ld.drop_last,
             seed=ld.seed,
             pad_to_full=ld.pad_to_full,
+            batch_weights=_global_batch_weights(
+                real_sizes, common, local_bs, ld.drop_last
+            ),
         )
+        assert len(out[name]) * local_bs >= common or ld.drop_last
     return out
 
 

@@ -489,7 +489,7 @@ def train_config(
             )
             for i in range(idx_all.shape[0]):
                 n_real = min(bs, val_loader.n_items - i * bs)
-                w = n_real / bs
+                w = val_loader.batch_weight(i)
                 for name in TRAIN_SCALARS:
                     scalars[name + "/Valid"].append(scal_st[name][i], weight=w)
                 scalars["LatCorr/Valid"].append(
@@ -529,9 +529,9 @@ def train_config(
             # the final batch is cyclically padded to the static batch
             # shape; weight its (padded-)mean by the real item count and
             # drop padded rows from latent stats so validation means match
-            # the reference's exact per-item means (train.py:261-293)
-            n_real = min(bs, val_loader.n_items - i * bs)
-            w = n_real / bs
+            # the reference's exact per-item means (train.py:261-293).
+            # batch_weight() uses GLOBAL real counts under multi-host.
+            w = val_loader.batch_weight(i)
             for name in TRAIN_SCALARS:
                 scalars[name + "/Valid"].append(mh[name], weight=w)
         for i, lh in enumerate(val_lat):
@@ -580,10 +580,13 @@ def train_config(
         # ---- TB scalars + metrics (train.py:303-320)
         if logger.tensorboard is not None:
             for k, s in scalars.items():
-                try:
-                    logger.tensorboard.add_scalar(k, s.get(), epoch)
-                except ValueError:
-                    pass
+                # LatCorr is only accumulated on plot epochs (and never on
+                # multi-host jobs); every other scalar must have data — an
+                # empty one is a metric-collection regression, so no blanket
+                # exception guard here
+                if not getattr(s, "has_data", True):
+                    continue
+                logger.tensorboard.add_scalar(k, s.get(), epoch)
             metrics["epochs"] = epoch + 1
             for k_m, k_s in (
                 ("ReconsLoss/MSE/Valid_", "ReconsLoss/MSE/Valid"),
@@ -592,10 +595,9 @@ def train_config(
                 ("Controls/QLoss/Valid_", "Controls/QLoss/Valid"),
                 ("Controls/Accuracy/Valid_", "Controls/Accuracy/Valid"),
             ):
-                try:
-                    metrics[k_m].append(scalars[k_s].get())
-                except ValueError:
-                    pass  # LatCorr is not collected on multi-host jobs
+                if not getattr(scalars[k_s], "has_data", True):
+                    continue
+                metrics[k_m].append(scalars[k_s].get())
             logger.tensorboard.update_metrics(metrics)
 
         # ---- checkpoints (train.py:323-325)

@@ -6,6 +6,14 @@ raises ``ModelConvergenceError`` (NaN loss) is restarted up to
 ``max_restarts`` times before the queue aborts — same retry policy as the
 reference (train_queue.py:89-106). No importlib config reloading: configs
 are values, so each run simply gets fresh dataclasses.
+
+Deliberate deviation from the reference: each restart trains with
+``seed + 1000 * restart_number``. The reference restarts the identical
+config and relies on torch/cuDNN nondeterminism to land on a different
+trajectory (train_queue.py:89-106); JAX runs are deterministic, so an
+unchanged seed would NaN bit-identically on every retry
+(tests/test_loop.py::test_training_reproducibility proves identical seeds
+give identical trajectories).
 """
 
 from __future__ import annotations
@@ -68,6 +76,11 @@ def run_queue(
                         f"Run {run_idx} diverged {restarts} times — aborting "
                         f"queue ({e})"
                     )
+                # Seed bump so the retry actually diverges (see module
+                # docstring); the reference relied on cuDNN nondeterminism.
+                train_c = dataclasses.replace(
+                    train_c, seed=train_c.seed + 1000 * restarts
+                )
                 print(f"[train_queue] NaN divergence ({e}); restart "
-                      f"{restarts}/{max_restarts}")
+                      f"{restarts}/{max_restarts} with seed={train_c.seed}")
     return summaries

@@ -83,6 +83,25 @@ def test_evaluate_model_end_to_end(tmp_path):
     assert (run_dir / "eval_validation.dataframe.pickle").exists()
     assert (run_dir / "eval_validation_z0_spearman_r.npy").exists()
     assert (run_dir / "eval_validation_summary.json").exists()
+    # GT audio disk cache was written (cache_gt_audio default) and a
+    # cache-hit eval + a cache-disabled eval give IDENTICAL audio metrics
+    # (deterministic engine -> cached render == fresh render)
+    cache_files = list((ds._corpus_cache_dir() / "gt_eval_audio").glob("gt_*.npy"))
+    assert cache_files, "GT audio cache not written"
+    df_hit = evaluate_model(
+        model_c, train_c,
+        cfg.EvalConfig(dataset="validation", override_previous_eval=True),
+        dataset=ds,
+    )
+    df_nocache = evaluate_model(
+        model_c, train_c,
+        cfg.EvalConfig(dataset="validation", override_previous_eval=True,
+                       cache_gt_audio=False),
+        dataset=ds,
+    )
+    for col in ("spec_mae", "spec_sc", "mfcc13_mae", "mfcc40_mae"):
+        np.testing.assert_array_equal(df_hit[col], df[col])
+        np.testing.assert_array_equal(df_nocache[col], df[col])
 
 
 @pytest.mark.skipif(not engine_available(), reason="libdx7.so not built")

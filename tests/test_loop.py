@@ -118,14 +118,18 @@ def test_profiled_epoch_writes_trace(tiny_dataset, tmp_path):
 
 def test_run_queue_nan_retry(monkeypatch):
     """The queue restarts a diverged run up to max_restarts times
-    (reference: train_queue.py:89-106)."""
+    (reference: train_queue.py:89-106) — and, deliberately unlike the
+    reference, bumps the seed each retry so the deterministic JAX rerun
+    actually diverges from the failed trajectory."""
     from preset_gen_vae_tpu.training import queue as q
     from preset_gen_vae_tpu.utils.exception import ModelConvergenceError
 
     calls = {"n": 0}
+    seeds_seen = []
 
     def fake_train(model_c, train_c, **kw):
         calls["n"] += 1
+        seeds_seen.append(train_c.seed)
         if calls["n"] < 3:
             raise ModelConvergenceError("NaN at epoch 0")
         return {"ok": True, "run": model_c.run_name}
@@ -133,6 +137,8 @@ def test_run_queue_nan_retry(monkeypatch):
     monkeypatch.setattr(q, "train_config", fake_train)
     out = q.run_queue([({"run_name": "r0"}, {})], max_restarts=2)
     assert calls["n"] == 3 and out[0]["ok"]
+    # every retry ran with a distinct seed -> distinct trajectory
+    assert len(set(seeds_seen)) == 3, seeds_seen
 
     calls["n"] = -10  # never succeeds within retries
     with pytest.raises(RuntimeError):

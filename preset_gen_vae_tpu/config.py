@@ -146,6 +146,8 @@ class TrainConfig:
     # index batches, device-resident corpus only). Identical math/PRNG
     # stream to K=1 (the step folds its own rng from state.step); it only
     # amortizes host dispatch — the bottleneck on weak-host machines.
+    # -1: whole-epoch dispatch — K is set to the train loader's batch
+    # count, so every epoch is ONE train dispatch + ONE validation scan.
     steps_per_dispatch: int = 1
     remat: bool = False  # rematerialize the forward in backward (big batches)
     seed: int = 0

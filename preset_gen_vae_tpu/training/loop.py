@@ -11,6 +11,8 @@ train/eval steps from ``train_step.py`` running over a data mesh.
 from __future__ import annotations
 
 import dataclasses
+import os
+import time
 from typing import Dict, Optional
 
 import jax
@@ -42,6 +44,17 @@ TRAIN_SCALARS = (
     "Controls/Accuracy",
     "LatLoss",
 )
+
+# scalars the train flush reads back (TRAIN_SCALARS + the NaN-check reg term)
+FLUSH_KEYS = TRAIN_SCALARS + ("FlowInputReg",)
+
+
+@jax.jit
+def _stack_scalars(ms):
+    """Packs a list of per-step metric dicts into ONE device buffer of
+    shape (n_steps, n_keys[, K]) so the host fetch is a single transfer
+    (re-traced per distinct list length; lengths repeat, so cached)."""
+    return jnp.stack([jnp.stack([m[k] for k in FLUSH_KEYS]) for m in ms])
 
 
 def train_config(
@@ -194,7 +207,15 @@ def train_config(
     device_resident = (
         bool(getattr(train_c, "dataset_cache_device", True)) and not multihost
     )
-    K = max(1, int(getattr(train_c, "steps_per_dispatch", 1)))
+    K = int(getattr(train_c, "steps_per_dispatch", 1))
+    if K == -1:
+        # whole-epoch dispatch: one lax.scan covers every train batch of an
+        # epoch (K batches > len(loader) would silently fall through to the
+        # single-step remainder path, so K is pinned to the exact count)
+        K = len(loaders["train"])
+    # K above the epoch's batch count would never fill a scan group and
+    # degrade to per-step dispatches — cap it
+    K = max(1, min(K, max(1, len(loaders["train"]))))
     if multihost:
         def place_batch(batch):
             return make_global_batch(mesh, batch)
@@ -227,9 +248,13 @@ def train_config(
         batch_spec = NamedSharding(mesh, P("data"))
 
         def _gather(cx, cv, ci, idx):
-            x = jax.lax.with_sharding_constraint(
-                cx[idx].astype(jnp.float32), batch_spec
-            )
+            # the spectrogram batch stays in the corpus dtype (bf16 when
+            # training in bf16): the encoder's first conv consumes bf16
+            # anyway, and the f32 loss/metric consumers upcast bf16->f32
+            # EXACTLY — while an eager astype(f32) here materialized +
+            # retiled a 35 MB tensor every step (profiled as one of the
+            # largest single fusions in the train step)
+            x = jax.lax.with_sharding_constraint(cx[idx], batch_spec)
             v = jax.lax.with_sharding_constraint(
                 cv[idx].astype(jnp.float32), batch_spec
             )
@@ -247,6 +272,55 @@ def train_config(
         train_step = jax.jit(_train_gather, donate_argnums=(0,))
         eval_step_g = jax.jit(_eval_gather)
 
+        # Indexed-epoch path (K == 1, the default): the epoch's shuffled
+        # index matrix is uploaded ONCE; each step receives its batch-row
+        # NUMBER as a pre-uploaded device scalar and gathers its batch on
+        # device — zero per-step host->device data traffic, and the async
+        # dispatch queue pipelines steps near the device's sustained rate.
+        # Measured on the v5e (BENCH.md round 3, B=160 flagship):
+        #   - this path pipelines at ~5.1 ms/step;
+        #   - deriving the row from the carried state.step instead makes
+        #     the SAME gather degrade to ~18 ms/step (the data-dependent
+        #     index defeats the runtime's pipelining);
+        #   - lax.scan serializes iterations to ~16 ms/step even with
+        #     contiguous slices;
+        #   - a per-epoch shuffled corpus copy + contiguous slices hits
+        #     ~4.5 ms/step but costs a 2nd corpus-sized HBM buffer (OOM
+        #     at the 30k corpus: 5.5 GB x-corpus + 4.4 GB shuffled view).
+        n_train_batches = max(1, len(loaders["train"]))
+        # device-resident batch-row scalars, shared across epochs
+        _row_scalars = [jnp.int32(i) for i in range(n_train_batches)]
+
+        def _train_epoch_indexed(state, cx, cv, ci, idx_all, i, key, beta):
+            idx = jax.lax.dynamic_index_in_dim(idx_all, i, axis=0,
+                                               keepdims=False)
+            x, v, info = _gather(cx, cv, ci, idx)
+            return base_train_step(state, x, v, info, key, beta)
+
+        train_step_e = jax.jit(_train_epoch_indexed, donate_argnums=(0,))
+
+        # Accumulator variant (non-plot epochs): the step's scalar metrics
+        # are written into row ``i`` of a carried (n_batches, n_keys)
+        # device buffer instead of being returned to the host. The host
+        # fetches the buffer ONCE per epoch — returning per-step scalars
+        # and syncing on them every FLUSH_EVERY steps measured ~320 ms per
+        # flush on the tunneled v5e (3.2 s of a 5.5 s epoch; BENCH.md
+        # round 3) even though the packed fetch itself is one round trip:
+        # the sync breaks the async dispatch pipeline. All non-scalar step
+        # outputs (latents) are dead code here and get DCE'd by XLA.
+        def _train_epoch_acc(state, cx, cv, ci, idx_all, i, key, beta, acc):
+            idx = jax.lax.dynamic_index_in_dim(idx_all, i, axis=0,
+                                               keepdims=False)
+            x, v, info = _gather(cx, cv, ci, idx)
+            state, m = base_train_step(state, x, v, info, key, beta)
+            row = jnp.stack(
+                [m[k].astype(jnp.float32) for k in FLUSH_KEYS]
+            )
+            acc = jax.lax.dynamic_update_index_in_dim(acc, row, i, axis=0)
+            return state, acc
+
+        train_step_acc = jax.jit(_train_epoch_acc, donate_argnums=(0, 8))
+
         # K-step dispatch: scan K index batches through the train step in
         # one device call. Same math and PRNG stream as K dispatches (the
         # step folds rng from state.step); cuts per-step host dispatch —
@@ -260,25 +334,25 @@ def train_config(
 
             train_step_k = jax.jit(_train_scan, donate_argnums=(0,))
 
-            # whole-validation scan (non-plot epochs): every eval batch in
-            # ONE dispatch, scalars + f16 latents stacked on device
-            base_eval_nout = make_eval_step(
-                ext, model_c, train_c, idx_helper, return_outputs=False
-            )
+        # whole-validation scan (non-plot epochs, any K): every eval batch
+        # in ONE dispatch, scalars + f16 latents stacked on device
+        base_eval_nout = make_eval_step(
+            ext, model_c, train_c, idx_helper, return_outputs=False
+        )
 
-            def _eval_scan(state, cx, cv, ci, idx_all):
-                def body(_, idx):
-                    x, v, info = _gather(cx, cv, ci, idx)
-                    m = base_eval_nout(state, x, v, info)
-                    lat = jax.tree_util.tree_map(
-                        lambda a: a.astype(jnp.float16), m["latents"]
-                    )
-                    return 0, ({k: m[k] for k in TRAIN_SCALARS}, lat)
+        def _eval_scan(state, cx, cv, ci, idx_all):
+            def body(_, idx):
+                x, v, info = _gather(cx, cv, ci, idx)
+                m = base_eval_nout(state, x, v, info)
+                lat = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.float16), m["latents"]
+                )
+                return 0, ({k: m[k] for k in TRAIN_SCALARS}, lat)
 
-                _, out = jax.lax.scan(body, 0, idx_all)
-                return out
+            _, out = jax.lax.scan(body, 0, idx_all)
+            return out
 
-            eval_scan = jax.jit(_eval_scan)
+        eval_scan = jax.jit(_eval_scan)
     else:
         train_step = jax.jit(base_train_step, donate_argnums=(0,))
     eval_step = jax.jit(base_eval_step)
@@ -351,6 +425,11 @@ def train_config(
         # (reference checked per minibatch, train.py:245).
         FLUSH_EVERY = 16
         pending = []
+        # PGV_EPOCH_TIMING=1: print a per-epoch train/val/rest wall-time
+        # breakdown (observability for the dispatch-bound-host analysis,
+        # BENCH.md round 3)
+        _sec_timing = os.environ.get("PGV_EPOCH_TIMING") == "1"
+        _t_sec = time.time()
         # train-split latent correlations are only *plotted* (train.py:213,
         # figures every plot_period); skip their device->host fetch on
         # non-plot epochs — on tunneled accelerators the readback would
@@ -365,23 +444,39 @@ def train_config(
             and single_process
         )
 
-        def _flush():
-            for m_dev in pending:
-                m_host = jax.device_get(
-                    {k: v for k, v in m_dev.items() if k != "latents"}
+        def _ingest_scalar_rows(arr):
+            # arr: (n_steps, n_keys) chronological f32 scalar rows
+            vals = {k: arr[:, j].reshape(-1)
+                    for j, k in enumerate(FLUSH_KEYS)}
+            for j in range(len(vals["ReconsLoss/Backprop"])):
+                for name in TRAIN_SCALARS:
+                    scalars[name + "/Train"].append(vals[name][j])
+                check_nan_values(
+                    epoch, vals["ReconsLoss/Backprop"][j],
+                    vals["LatLoss"][j], vals["FlowInputReg"][j],
+                    vals["Controls/BackpropLoss"][j],
                 )
-                # K-step dispatches yield (K,)-stacked scalars; unstack so
-                # epoch means and NaN checks see every step
-                vals = {k: np.atleast_1d(v) for k, v in m_host.items()}
-                for j in range(len(vals["ReconsLoss/Backprop"])):
-                    for name in TRAIN_SCALARS:
-                        scalars[name + "/Train"].append(vals[name][j])
-                    check_nan_values(
-                        epoch, vals["ReconsLoss/Backprop"][j],
-                        vals["LatLoss"][j], vals["FlowInputReg"][j],
-                        vals["Controls/BackpropLoss"][j],
-                    )
-                if collect_train_latents:
+
+        def _flush():
+            # ONE jitted stack + ONE device_get per flush: each scalar
+            # leaf fetch is a full round trip on tunneled chips (~3-4 ms);
+            # fetching the 7 scalars of every pending step individually
+            # measured ~25 ms/step and dominated the epoch (probe, BENCH.md
+            # round 3) — packing them into a single (n, 7[, K]) buffer
+            # makes the flush ~one round trip total.
+            if not pending:
+                return
+            arr = np.asarray(jax.device_get(
+                _stack_scalars([{k: m[k] for k in FLUSH_KEYS}
+                                for m in pending])
+            ))
+            # row-major reshape keeps chronological step order for both
+            # per-step (n,) and K-stacked (n, K) layouts
+            if arr.ndim == 3:  # K-stacked (n, keys, K) -> (n*K, keys)
+                arr = np.moveaxis(arr, 2, 1).reshape(-1, arr.shape[1])
+            _ingest_scalar_rows(arr)
+            if collect_train_latents:
+                for m_dev in pending:
                     lat = jax.device_get(m_dev["latents"])
                     z0_mu, z0 = np.asarray(lat["z0_mu"]), np.asarray(lat["z0"])
                     if z0_mu.ndim == 3:  # (K, B, z) -> (K*B, z)
@@ -393,7 +488,11 @@ def train_config(
         if device_resident and K > 1 and not profiling:
             # K-step dispatch path: identical math to the per-step path
             # (verified by test_steps_per_dispatch_matches); host dispatch
-            # count drops by K
+            # count drops by K. NOTE: measured on the tunneled v5e, scan
+            # iterations serialize on device (~3x the pipelined per-step
+            # rate) — the indexed-epoch K=1 path below is faster there;
+            # this path remains for hosts whose per-dispatch cost exceeds
+            # the scan serialization penalty.
             beta_j = jnp.float32(beta)
             buf, i = [], -1
             flush_groups = max(1, FLUSH_EVERY // K)
@@ -418,6 +517,54 @@ def train_config(
                 i += 1
                 logger.on_minibatch_finished(i)
             _flush()
+        elif device_resident and not profiling:
+            # indexed-epoch path (default): ONE index-matrix upload per
+            # epoch; per-step args are all device-resident (the batch-row
+            # scalar comes from the shared _row_scalars list) -> fully
+            # pipelined async dispatch
+            beta_j = jnp.float32(beta)
+            idx_batches = list(loaders["train"].epoch_index_batches(epoch))
+            if not idx_batches:
+                raise ValueError(
+                    "train split smaller than one (drop_last) minibatch"
+                )
+            idx_all_dev = jnp.asarray(np.stack(idx_batches))
+            if collect_train_latents:
+                # plot epochs (rare): per-step metric dicts so the z0
+                # latents can be fetched for the correlation figures
+                for i in range(len(idx_batches)):
+                    state, m = train_step_e(
+                        state, *corpus, idx_all_dev, _row_scalars[i],
+                        rng_key, beta_j
+                    )
+                    pending.append(m)
+                    if len(pending) >= FLUSH_EVERY:
+                        _flush()
+                    logger.on_minibatch_finished(i)
+                _flush()
+            else:
+                # steady-state epochs: zero host syncs inside the loop —
+                # scalars accumulate on device, ONE fetch at epoch end.
+                # NaN divergence is still checked per minibatch row, just
+                # at epoch granularity (<=1 epoch ~2 s later than the
+                # reference's per-minibatch check, train.py:245).
+                _t_disp = time.perf_counter()
+                acc = jnp.zeros(
+                    (len(idx_batches), len(FLUSH_KEYS)), jnp.float32
+                )
+                for i in range(len(idx_batches)):
+                    state, acc = train_step_acc(
+                        state, *corpus, idx_all_dev, _row_scalars[i],
+                        rng_key, beta_j, acc
+                    )
+                    logger.on_minibatch_finished(i)
+                _t_disp = time.perf_counter() - _t_disp
+                _t0 = time.perf_counter()
+                _ingest_scalar_rows(np.asarray(jax.device_get(acc)))
+                if _sec_timing:
+                    print(f"[epoch {epoch}] disp={_t_disp:.3f}s "
+                          f"fetch={time.perf_counter() - _t0:.3f}s",
+                          flush=True)
         else:
           for i, batch in enumerate(
             loaders["train"].epoch_index_batches(epoch)
@@ -453,6 +600,9 @@ def train_config(
         if profiling and train_c.profiler_full_trace and epoch == train_c.start_epoch:
             break
 
+        if _sec_timing:
+            _t_train, _t_sec = time.time() - _t_sec, time.time()
+
         scalars["VAELoss/Train"] = logmetrics.SimpleMetric(
             scalars["ReconsLoss/Backprop/Train"].get()
             + scalars["LatLoss/Train"].get()
@@ -479,7 +629,7 @@ def train_config(
         # ONE bulk device_get runs after the loop; latents transfer as f16
         # (rank statistics are unaffected by the cast).
         val_scal_dev, val_lat_dev = [], []
-        if device_resident and K > 1 and not should_plot:
+        if device_resident and not should_plot:
             # whole-validation scan: one dispatch + one bulk fetch
             idx_all = np.stack(
                 list(loaders["validation"].epoch_index_batches(epoch))
@@ -544,6 +694,8 @@ def train_config(
             scalars["ReconsLoss/Backprop/Valid"].get()
             + scalars["LatLoss/Valid"].get()
         )
+        if _sec_timing:
+            _t_val, _t_sec = time.time() - _t_sec, time.time()
 
         # ---- plateau scheduler + early stop (train.py:296-299)
         if epoch > train_c.lr_warmup_epochs:
@@ -607,6 +759,9 @@ def train_config(
             or early_stop
         ):
             logger.save_checkpoint(epoch, state, scheduler)
+        if _sec_timing:
+            print(f"[epoch {epoch}] train={_t_train:.3f}s val={_t_val:.3f}s "
+                  f"rest={time.time() - _t_sec:.3f}s", flush=True)
         logger.on_epoch_finished(epoch)
         if early_stop:
             logger.log("Training stopped early (loss plateau)", level=1)
@@ -621,8 +776,8 @@ def train_config(
     if tp_report is not None:
         summary["tp_kernels_sharded"] = tp_report[0]
     for name in TRAIN_SCALARS:
-        try:
+        # same explicit emptiness guard as the TB block above (no blanket
+        # exception catch that could mask a metric-collection regression)
+        if getattr(scalars[name + "/Valid"], "has_data", True):
             summary[name + "/Valid"] = scalars[name + "/Valid"].get()
-        except ValueError:
-            pass
     return summary

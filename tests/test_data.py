@@ -94,6 +94,7 @@ def test_structured_corpus_algo_restriction():
     assert set(algo_of) <= {3, 21}
 
 
+@pytest.mark.slow
 def test_structured_corpus_renders_audible():
     """The generator's whole purpose: (almost) no near-silent ground truths
     (round-1 verdict: the uniform generator produced ~6% RMS<1e-3 renders,

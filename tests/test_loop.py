@@ -176,8 +176,17 @@ def test_steps_per_dispatch_matches(tiny_dataset, tmp_path):
     train_b = dataclasses.replace(train_b, steps_per_dispatch=4)
     sb = train_config(model_b, train_b, dataset=tiny_dataset,
                       use_tensorboard=False)
+    # steps_per_dispatch=-1: whole-epoch dispatch (K pinned to the train
+    # loader's batch count — one scan per epoch)
+    model_e, train_e = _configs(tmp_path, run_name="kepoch", n_epochs=2)
+    train_e = dataclasses.replace(train_e, steps_per_dispatch=-1)
+    se = train_config(model_e, train_e, dataset=tiny_dataset,
+                      use_tensorboard=False)
     for k in ("ReconsLoss/Backprop/Valid", "LatLoss/Valid",
               "Controls/BackpropLoss/Valid", "Controls/Accuracy/Valid"):
         assert np.isclose(sa[k], sb[k], rtol=1e-5, atol=1e-7), (
             f"{k}: {sa[k]} vs {sb[k]}"
+        )
+        assert np.isclose(sa[k], se[k], rtol=1e-5, atol=1e-7), (
+            f"{k} (epoch-dispatch): {sa[k]} vs {se[k]}"
         )

@@ -152,6 +152,7 @@ def test_realnvp_inverse_consistency():
         jax.config.update("jax_enable_x64", False)
 
 
+@pytest.mark.slow
 def test_regression_flow_bn_inverse_consistency_eval():
     """BN-between-layers flows are invertible in eval mode only
     (reference caveat: VAE.py:122)."""

@@ -74,6 +74,7 @@ def test_unstacked_multinote_run(tmp_path):
     assert np.isfinite(summary["ReconsLoss/Backprop/Valid"])
 
 
+@pytest.mark.slow
 def test_stacked_deepest_features_mix(tmp_path):
     """stack_specs_deepest_features_mix=True: channels mixed at the deepest
     1x1 conv instead of the 4x4 (reference: config.py:38, encoder.py:95-100)."""

@@ -99,6 +99,7 @@ def test_train_step_sharded_on_mesh(helper, rng):
     assert np.isfinite(float(metrics["TotalLoss"]))
 
 
+@pytest.mark.slow
 def test_eval_step_deterministic(helper, rng):
     model_c, train_c, ext, variables = _small_setup(helper)
     state = create_train_state(ext, variables, train_c)
@@ -112,6 +113,7 @@ def test_eval_step_deterministic(helper, rng):
     assert m1["v_out"].shape == (8, helper.learnable_preset_size)
 
 
+@pytest.mark.slow
 def test_learning_rate_override(helper):
     _, train_c, ext, variables = _small_setup(helper)
     state = create_train_state(ext, variables, train_c)

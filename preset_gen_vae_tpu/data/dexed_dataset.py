@@ -84,6 +84,7 @@ class DexedDataset(PresetDataset):
         else:
             gen = {
                 "structured": db.generate_structured_corpus,
+                "structured2": db.generate_structured_corpus_v2,
                 "uniform": db.generate_random_corpus,
             }[synthetic_style]
             presets, names, labels = gen(
@@ -197,9 +198,15 @@ class DexedDataset(PresetDataset):
             if self.restrict_to_labels
             else "all"
         )
+        # legacy styles keep their historical 2-char tag (existing render
+        # caches stay valid); any newer style embeds its full name so
+        # prefix-sharing styles ('structured2') cannot collide
+        style_tag = {"structured": "st", "uniform": "un"}.get(
+            self._synthetic_args[2], self._synthetic_args[2]
+        )
         syn = (
             f"syn{self._synthetic_args[0]}s{self._synthetic_args[1]}"
-            f"{self._synthetic_args[2][:2]}"
+            f"{style_tag}"
             if self._synthetic
             else f"db{self._corpus_content_hash()}"
         )

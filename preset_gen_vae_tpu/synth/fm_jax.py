@@ -108,6 +108,25 @@ def _build_algo_tables():
 ALGO_ADJ, ALGO_CARRIER, ALGO_FB_SRC, ALGO_FB_DST = _build_algo_tables()
 
 
+def _build_mod_depths() -> np.ndarray:
+    """(32, 6) int32 modulation depth per (algorithm, operator): carriers
+    are 0, an operator that modulates a depth-d operator is d+1 (min over
+    its targets). Derived from the same public algorithm table the engine
+    uses; feedback self-edges don't affect depth."""
+    depth = np.full((32, N_OPS), N_OPS, dtype=np.int32)
+    for a, (edges, mask, _s, _d) in enumerate(_ALGOS):
+        for i in range(N_OPS):
+            if (mask >> i) & 1:
+                depth[a, i] = 0
+        for _ in range(N_OPS):
+            for m, c in edges:
+                depth[a, m - 1] = min(depth[a, m - 1], depth[a, c - 1] + 1)
+    return depth
+
+
+ALGO_MOD_DEPTH = _build_mod_depths()
+
+
 # ---------------------------------------------------------------------------
 # Parameter decoding (dx7_engine.cc:48-138) with straight-through rounding
 # ---------------------------------------------------------------------------

@@ -88,6 +88,52 @@ def test_structured_corpus_properties():
             assert p[r, dx.op_param_index(op, dx.OFF_OUTPUT_LEVEL)] >= 0.85
 
 
+def test_structured_v2_properties():
+    """v2 generator: deterministic, grid-exact, label vocab, and the two
+    correlation families it adds — depth-aware modulator levels (deep
+    modulators statistically quieter than depth-1) and archetype-coherent
+    envelopes (carrier sustain bimodal by percussive/sustained family)."""
+    from preset_gen_vae_tpu.synth import fm_jax
+
+    p, names, labels = db.generate_structured_corpus_v2(512, seed=7)
+    p2, _, _ = db.generate_structured_corpus_v2(512, seed=7)
+    np.testing.assert_array_equal(p, p2)
+    assert p.shape == (512, dx.N_PARAMS) and p.min() >= 0 and p.max() <= 1
+    card = dx.param_cardinalities()
+    for i in np.nonzero(card > 1)[0]:
+        steps = p[:, i] * (int(card[i]) - 1)
+        np.testing.assert_allclose(steps, np.rint(steps), atol=1e-5)
+    assert set(labels) <= set(db.LABELS_VOCAB)
+    assert names[0].startswith("struct2_")
+
+    alg = np.rint(p[:, dx.IDX_ALGORITHM] * 31).astype(int)
+    depth = fm_jax.ALGO_MOD_DEPTH[alg]  # (n, 6)
+    lvl = np.stack(
+        [p[:, dx.op_param_index(op, dx.OFF_OUTPUT_LEVEL)] for op in range(1, 7)],
+        axis=1,
+    )
+    # carriers loud (audibility contract, as v1)
+    assert lvl[depth == 0].min() >= 0.85
+    # depth-aware: mean level strictly decreasing carrier -> d1 -> d2+
+    m0, m1, m2 = (lvl[depth == 0].mean(), lvl[depth == 1].mean(),
+                  lvl[depth >= 2].mean())
+    assert m0 > m1 > m2, (m0, m1, m2)
+
+
+def test_algo_mod_depth_table():
+    """Depth table sanity against hand-checked algorithms (public DX7
+    topology, same table as dx7_engine.cc:155-188): alg 1 has a 4-deep
+    tower (6->5->4->3), alg 32 is all carriers, alg 16 nests 6->5->1."""
+    from preset_gen_vae_tpu.synth import fm_jax
+
+    d = fm_jax.ALGO_MOD_DEPTH
+    np.testing.assert_array_equal(d[0], [0, 1, 0, 1, 2, 3])   # alg 1
+    np.testing.assert_array_equal(d[31], [0, 0, 0, 0, 0, 0])  # alg 32
+    np.testing.assert_array_equal(d[15], [0, 1, 1, 2, 1, 2])  # alg 16
+    # every op reaches a carrier in <= 5 hops on every algorithm
+    assert d.max() <= 5 and d.min() == 0
+
+
 def test_structured_corpus_algo_restriction():
     p, _, _ = db.generate_structured_corpus(64, seed=1, algos=(3, 21))
     algo_of = np.rint(p[:, dx.IDX_ALGORITHM] * 31.0).astype(int) + 1
@@ -104,6 +150,10 @@ def test_structured_corpus_renders_audible():
     if not engine_available():
         pytest.skip("libdx7.so not built")
     p, _, _ = db.generate_structured_corpus(256, seed=0)
+    w = DexedRenderer().render_batch(p, [60] * 256, [85] * 256)
+    rms = np.sqrt((w ** 2).mean(axis=1))
+    assert (rms < 1e-3).mean() < 0.01
+    p, _, _ = db.generate_structured_corpus_v2(256, seed=0)
     w = DexedRenderer().render_batch(p, [60] * 256, [85] * 256)
     rms = np.sqrt((w ** 2).mean(axis=1))
     assert (rms < 1e-3).mean() < 0.01

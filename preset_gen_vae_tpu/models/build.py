@@ -71,6 +71,7 @@ def build_ae_model(model_config: ModelConfig, train_config: TrainConfig):
             dim_z=model_config.dim_z,
             flow_arch=model_config.latent_flow_arch,
             concat_midi_to_z0=bool(model_config.concat_midi_to_z),
+            flow_dtype=_compute_dtype(train_config),
         )
     return encoder, decoder, ae_model
 
@@ -92,6 +93,7 @@ def build_extended_ae_model(
             idx_helper=idx_helper,
             dropout_p=train_config.reg_fc_dropout,
             cat_softmax_activation=model_config.params_reg_softmax,
+            dtype=_compute_dtype(train_config),
         )
     elif arch.startswith("flow_"):
         assert model_config.learnable_params_tensor_length > 0  # build.py:70
@@ -102,6 +104,7 @@ def build_extended_ae_model(
             dropout_p=train_config.reg_fc_dropout,
             fast_forward_flow=model_config.forward_controls_loss,
             cat_softmax_activation=model_config.params_reg_softmax,
+            dtype=_compute_dtype(train_config),
         )
     else:
         raise NotImplementedError(f"Synth param regression arch '{arch}' not implemented")

@@ -52,26 +52,33 @@ class ResidualMLP(nn.Module):
     num_blocks: int = 2
     dropout_p: float = 0.0
     use_batch_norm: bool = False
+    # matmul compute dtype (params stay f32). bf16 puts the conditioner
+    # GEMM chains — the train step's dominant cost at the parity batch —
+    # on the MXU's fast path; all invertibility-critical coupling math and
+    # the logdet stay f32 (the caller casts this module's output back).
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        h = nn.Dense(self.hidden_features, name="initial")(x)
+        h = nn.Dense(self.hidden_features, name="initial", dtype=self.dtype)(x)
         for b in range(self.num_blocks):
             res = h
             if self.use_batch_norm:
                 res = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                   name=f"bn{b}_0")(res)
+                                   name=f"bn{b}_0", dtype=self.dtype)(res)
             res = nn.relu(res)
-            res = nn.Dense(self.hidden_features, name=f"fc{b}_0")(res)
+            res = nn.Dense(self.hidden_features, name=f"fc{b}_0",
+                           dtype=self.dtype)(res)
             if self.use_batch_norm:
                 res = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                   name=f"bn{b}_1")(res)
+                                   name=f"bn{b}_1", dtype=self.dtype)(res)
             res = nn.relu(res)
             if self.dropout_p > 0:
                 res = nn.Dropout(rate=self.dropout_p, deterministic=not train)(res)
-            res = nn.Dense(self.hidden_features, name=f"fc{b}_1")(res)
+            res = nn.Dense(self.hidden_features, name=f"fc{b}_1",
+                           dtype=self.dtype)(res)
             h = h + res
-        return nn.Dense(self.out_features, name="final")(h)
+        return nn.Dense(self.out_features, name="final", dtype=self.dtype)(h)
 
 
 class AffineCouplingLayer(nn.Module):
@@ -86,6 +93,7 @@ class AffineCouplingLayer(nn.Module):
     num_blocks: int = 2
     dropout_p: float = 0.0
     bn_within: bool = False
+    dtype: jnp.dtype = jnp.float32  # conditioner GEMM dtype; s/t/logdet f32
 
     def setup(self):
         mask = np.asarray(self.transformed_mask, dtype=bool)
@@ -97,10 +105,11 @@ class AffineCouplingLayer(nn.Module):
             num_blocks=self.num_blocks,
             dropout_p=self.dropout_p,
             use_batch_norm=self.bn_within,
+            dtype=self.dtype,
         )
 
     def _params(self, x_id, train):
-        raw = self.conditioner(x_id, train=train)
+        raw = self.conditioner(x_id, train=train).astype(jnp.float32)
         raw_s, t = jnp.split(raw, 2, axis=-1)
         s = jax.nn.sigmoid(raw_s + 2.0) + 1e-3
         return s, t
@@ -205,13 +214,14 @@ def _made_masks(features: int, hidden: int, n_hidden_layers: int):
 class MaskedDense(nn.Module):
     features: int
     mask: np.ndarray  # (in_features, out_features) static 0/1 mask
+    dtype: jnp.dtype = jnp.float32  # matmul dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x):
-        mask = jnp.asarray(self.mask, dtype=jnp.float32)
         kernel = self.param("kernel", nn.initializers.lecun_normal(), self.mask.shape)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return x @ (kernel * mask) + bias
+        masked = (kernel * jnp.asarray(self.mask, dtype=jnp.float32)).astype(self.dtype)
+        return x.astype(self.dtype) @ masked + bias.astype(self.dtype)
 
 
 class MaskedAffineAutoregressive(nn.Module):
@@ -225,10 +235,14 @@ class MaskedAffineAutoregressive(nn.Module):
     n_hidden_layers: int = 2
     dropout_p: float = 0.0
     use_batch_norm: bool = False
+    dtype: jnp.dtype = jnp.float32  # masked-GEMM dtype; s/t/logdet f32
 
     def setup(self):
         masks = _made_masks(self.features, self.hidden_features, self.n_hidden_layers)
-        self.layers = [MaskedDense(features=m.shape[1], mask=m) for m in masks]
+        self.layers = [
+            MaskedDense(features=m.shape[1], mask=m, dtype=self.dtype)
+            for m in masks
+        ]
         if self.use_batch_norm:
             self.bns = [nn.BatchNorm(momentum=0.9) for _ in range(self.n_hidden_layers)]
         if self.dropout_p > 0:
@@ -247,7 +261,7 @@ class MaskedAffineAutoregressive(nn.Module):
             h = nn.relu(h)
             if self.dropout_p > 0:
                 h = self.dropouts[i](h, deterministic=not train)
-        out = self.layers[-1](h)
+        out = self.layers[-1](h).astype(jnp.float32)
         t, raw_s = jnp.split(out, 2, axis=-1)
         s = jax.nn.softplus(raw_s + self._SOFTPLUS_C0) + 1e-3
         return s, t
@@ -316,6 +330,7 @@ class LatentFlow(nn.Module):
 
     flow_arch: str
     features: int
+    dtype: jnp.dtype = jnp.float32  # conditioner GEMM dtype
 
     def setup(self):
         flow_type, n_layers, hidden = parse_flow_arch(self.flow_arch)
@@ -325,7 +340,8 @@ class LatentFlow(nn.Module):
                 layers.append(ReversePermutation(features=self.features))
                 layers.append(
                     MaskedAffineAutoregressive(
-                        features=self.features, hidden_features=hidden
+                        features=self.features, hidden_features=hidden,
+                        dtype=self.dtype,
                     )
                 )
         elif flow_type in ("realnvp", "rnvp"):
@@ -340,6 +356,7 @@ class LatentFlow(nn.Module):
                         num_blocks=2,
                         bn_within=True,  # reference: VAE.py:121
                         dropout_p=0.0,
+                        dtype=self.dtype,
                     )
                 )
         else:
@@ -365,6 +382,7 @@ class RegressionFlow(nn.Module):
     flow_arch: str
     features: int
     dropout_p: float = 0.0
+    dtype: jnp.dtype = jnp.float32  # conditioner GEMM dtype
 
     def setup(self):
         flow_type, n_layers, hidden = parse_flow_arch(self.flow_arch)
@@ -382,6 +400,7 @@ class RegressionFlow(nn.Module):
                         num_blocks=2,
                         bn_within=True,
                         dropout_p=self.dropout_p if not_last_two else 0.0,
+                        dtype=self.dtype,
                     )
                 )
                 if not_last_two:  # BN between layers, none on last two
@@ -393,6 +412,7 @@ class RegressionFlow(nn.Module):
                     MaskedAffineAutoregressive(
                         features=self.features, hidden_features=hidden,
                         dropout_p=0.5,  # reference: regression.py:158
+                        dtype=self.dtype,
                     )
                 )
         else:

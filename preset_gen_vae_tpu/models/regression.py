@@ -69,6 +69,7 @@ class MLPRegression(nn.Module):
     idx_helper: PresetIndexesHelper
     dropout_p: float = 0.0
     cat_softmax_activation: bool = False
+    dtype: jnp.dtype = jnp.float32  # GEMM dtype; activation math stays f32
 
     @nn.compact
     def __call__(self, z_K, train: bool = True):
@@ -78,15 +79,18 @@ class MLPRegression(nn.Module):
         n_layers, n_neurons = (int(v) for v in arch[0].split("l"))
         h = z_K
         for l in range(n_layers):
-            h = nn.Dense(n_neurons, name=f"fc{l + 1}")(h)
+            h = nn.Dense(n_neurons, name=f"fc{l + 1}", dtype=self.dtype)(h)
             if l < n_layers - 1:  # no BN/dropout on the last hidden layer
                 h = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.9, name=f"bn{l + 1}"
+                    use_running_average=not train, momentum=0.9,
+                    name=f"bn{l + 1}", dtype=self.dtype,
                 )(h)
                 h = nn.Dropout(rate=self.dropout_p, deterministic=not train)(h)
             h = nn.relu(h)
-        h = nn.Dense(self.idx_helper.learnable_preset_size, name=f"fc{n_layers + 1}")(h)
-        return preset_activation(h, self.idx_helper, self.cat_softmax_activation)
+        h = nn.Dense(self.idx_helper.learnable_preset_size,
+                     name=f"fc{n_layers + 1}", dtype=self.dtype)(h)
+        return preset_activation(h.astype(jnp.float32), self.idx_helper,
+                                 self.cat_softmax_activation)
 
 
 class FlowRegression(nn.Module):
@@ -100,6 +104,7 @@ class FlowRegression(nn.Module):
     dropout_p: float = 0.0
     fast_forward_flow: bool = True
     cat_softmax_activation: bool = False
+    dtype: jnp.dtype = jnp.float32  # conditioner GEMM dtype (flows.py)
 
     def setup(self):
         assert self.dim_z == self.idx_helper.learnable_preset_size, (
@@ -110,6 +115,7 @@ class FlowRegression(nn.Module):
             flow_arch=self.architecture,
             features=self.dim_z,
             dropout_p=self.dropout_p,
+            dtype=self.dtype,
         )
 
     def _zk_to_v(self, z_K, train):

@@ -57,9 +57,11 @@ class FlowVAE(nn.Module):
     dim_z: int
     flow_arch: str
     concat_midi_to_z0: bool = False
+    flow_dtype: jnp.dtype = jnp.float32  # conditioner GEMM dtype (flows.py)
 
     def setup(self):
-        self.flow = LatentFlow(flow_arch=self.flow_arch, features=self.dim_z)
+        self.flow = LatentFlow(flow_arch=self.flow_arch, features=self.dim_z,
+                               dtype=self.flow_dtype)
 
     def encode(self, x, sample_info=None, train: bool = True):
         if not self.concat_midi_to_z0:

@@ -13,7 +13,10 @@ from preset_gen_vae_tpu.ops.spectrogram import (
 )
 
 
-@pytest.mark.parametrize("n_mel_bins", [257, -1])
+@pytest.mark.parametrize(
+    "n_mel_bins",
+    [pytest.param(257, marks=pytest.mark.slow), -1],  # keep one fast smoke
+)
 def test_pallas_matches_xla_path(n_mel_bins):
     cfg = SpectrogramConfig(n_mel_bins=n_mel_bins)
     ref = SpectrogramProcessor(cfg)
@@ -26,6 +29,7 @@ def test_pallas_matches_xla_path(n_mel_bins):
     np.testing.assert_allclose(a, b, atol=5e-2)  # dB domain: 0.05 dB
 
 
+@pytest.mark.slow
 def test_pallas_partial_last_tile(rng):
     """Frame count not divisible by the tile: padded tail must not corrupt
     the valid frames."""

@@ -26,7 +26,39 @@ Two measured/first-principles anchors back the estimate up:
 
 import json
 import os
+import subprocess
+import sys
 import time
+
+
+def _preflight_device_check(timeout_s: int = 120) -> None:
+    """Fail FAST (one JSON error line) when the accelerator is unreachable.
+
+    jax backend init through the axon tunnel HANGS indefinitely when the
+    tunnel is down (observed in round 3) — a subprocess probe with a hard
+    timeout keeps the driver's bench capture from wedging."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "raise SystemExit(0 if d else 1)"],
+            timeout=timeout_s, capture_output=True,
+        )
+        if r.returncode == 0:
+            return
+        detail = (r.stderr or b"").decode()[-200:]
+    except subprocess.TimeoutExpired:
+        detail = f"backend init exceeded {timeout_s}s (tunnel down?)"
+    print(json.dumps({
+        "metric": "flvae2_train_spectrograms_per_sec_per_chip",
+        "value": 0.0, "unit": "spectrograms/sec", "vs_baseline": 0.0,
+        "error": f"accelerator unreachable: {detail}",
+    }))
+    sys.exit(0)
+
+
+if os.environ.get("BENCH_SKIP_PREFLIGHT") != "1":
+    _preflight_device_check()
 
 import jax
 import jax.numpy as jnp

@@ -264,3 +264,20 @@ def import_syx_banks(paths, out_sqlite=None):
 
         create_database(out_sqlite, presets, names, labels)
     return presets, names, labels
+
+
+if __name__ == "__main__":  # python -m preset_gen_vae_tpu.synth.sysex
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Import DX7 .syx cartridges into a training database"
+    )
+    ap.add_argument("syx", nargs="+", help=".syx cartridge files")
+    ap.add_argument("-o", "--out", required=True,
+                    help="output sqlite path (reference schema)")
+    args = ap.parse_args()
+    pr, nm, lb = import_syx_banks(args.syx, out_sqlite=args.out)
+    import collections
+
+    print(f"imported {len(pr)} voices from {len(args.syx)} file(s) "
+          f"-> {args.out}; labels: {dict(collections.Counter(lb))}")

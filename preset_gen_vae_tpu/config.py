@@ -176,6 +176,10 @@ class EvalConfig:
     # approximation, fb_iters=3) or 'exact' (per-sample scan, matches the
     # C++ engine's feedback path closely but renders much slower)
     audio_render_feedback: str = "unrolled"
+    # audio similarity batch (renders + metric dispatches); big batches cut
+    # the per-iteration upload/dispatch/fetch round-trip count on tunneled
+    # accelerators
+    audio_batch_size: int = 256
     # reuse ground-truth renders across evals (C++ backend only): GT audio
     # for the eval split is rendered once and disk-cached keyed by
     # (item set, engine version, sample rate) — the reference reads

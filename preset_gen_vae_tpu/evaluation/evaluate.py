@@ -211,7 +211,11 @@ def evaluate_model(
         inferred_full = idx_helper.learnable_to_full_batch(v_out_cat)
         audio_metrics = {k: [] for k in ("spec_mae", "spec_sc",
                                          "mfcc13_mae", "mfcc40_mae")}
-        B = 32
+        # big audio batches: on tunneled accelerators each iteration pays
+        # upload + dispatch + fetch round trips, so 256-item batches cut
+        # the trip count 8x vs the round-2 hardcoded 32 (host RAM cost:
+        # 2 x 256 x ~90k samples f32 = 180 MB, trivial)
+        B = int(getattr(eval_config, "audio_batch_size", 256))
         renderer = dataset._renderer
         use_jax_render = (
             getattr(eval_config, "audio_render_backend", "cpp") == "jax"
@@ -274,8 +278,11 @@ def evaluate_model(
                 model_c.stft_args[0], model_c.stft_args[1],
                 model_c.sampling_rate,
             )
+            # ONE fetch for all four metric vectors (each device_get is a
+            # full round trip on tunneled chips)
+            errs_h = jax.device_get(errs)
             for k in audio_metrics:
-                audio_metrics[k] += list(np.asarray(errs[k]))
+                audio_metrics[k] += list(np.asarray(errs_h[k]))
         for k, vals in audio_metrics.items():
             df[k] = vals
 

@@ -176,10 +176,10 @@ def evaluate_model(
     v_out_all, info_all = [], []
 
     for x, v, info in loader.epoch_batches(0):
-        mu, zK, v_out = infer(state.params, state.batch_stats, jnp.asarray(x),
-                              jnp.asarray(info))
-        mu, zK = np.asarray(mu), np.asarray(zK)
-        v_out = np.asarray(v_out)
+        out = infer(state.params, state.batch_stats, jnp.asarray(x),
+                    jnp.asarray(info))
+        # one round trip for all three outputs (vs three device_gets)
+        mu, zK, v_out = (np.asarray(a) for a in jax.device_get(out))
         lat_z0.append(mu, mu)
         lat_zK.append(zK, zK)
         rows["preset_UID"] += list(info[:, 0])

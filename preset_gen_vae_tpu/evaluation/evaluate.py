@@ -164,6 +164,13 @@ def evaluate_model(
         )
         return z0_mu_logvar[:, 0, :], zK, v_out
 
+    # PGV_EVAL_TIMING=1: per-phase wall breakdown (observability for the
+    # tunneled-chip round-trip analysis, BENCH.md round 3)
+    import os as _os
+    import time as _time
+    _timing = _os.environ.get("PGV_EVAL_TIMING") == "1"
+    _t_phase = _time.time()
+
     lat_z0 = logmetrics.LatentMetric(model_c.dim_z)
     lat_zK = logmetrics.LatentMetric(model_c.dim_z)
     rows: Dict[str, List] = {
@@ -196,6 +203,10 @@ def evaluate_model(
     df = pd.DataFrame(rows)
     # drop cyclic pad duplicates (pipeline pads the last batch)
     df = df[~df.duplicated(["preset_UID", "midi_pitch", "midi_velocity"])]
+    if _timing:
+        print(f"[eval] inference+param-metrics: {_time.time() - _t_phase:.1f}s",
+              flush=True)
+        _t_phase = _time.time()
 
     # ---- audio re-render + similarity (eval.py:190-203, 254-275)
     if render_audio:
@@ -285,6 +296,10 @@ def evaluate_model(
                 audio_metrics[k] += list(np.asarray(errs_h[k]))
         for k, vals in audio_metrics.items():
             df[k] = vals
+        if _timing:
+            print(f"[eval] render+similarity: {_time.time() - _t_phase:.1f}s",
+                  flush=True)
+            _t_phase = _time.time()
 
     # ---- multi-note per-UID aggregation (eval.py:211-224)
     df_agg = df.groupby("preset_UID", as_index=False).mean(numeric_only=True)
@@ -323,4 +338,7 @@ def evaluate_model(
                 },
                 f, indent=2,
             )
+    if _timing:
+        print(f"[eval] aggregation+artifacts: {_time.time() - _t_phase:.1f}s",
+              flush=True)
     return df_agg

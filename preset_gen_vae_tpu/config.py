@@ -149,6 +149,10 @@ class TrainConfig:
     # -1: whole-epoch dispatch — K is set to the train loader's batch
     # count, so every epoch is ONE train dispatch + ONE validation scan.
     steps_per_dispatch: int = 1
+    # lax.scan unroll factor for the K-step/whole-epoch scans (>1 inlines
+    # that many step bodies per scan iteration, letting XLA overlap work
+    # across steps at the cost of compile time)
+    scan_unroll: int = 1
     remat: bool = False  # rematerialize the forward in backward (big batches)
     seed: int = 0
 

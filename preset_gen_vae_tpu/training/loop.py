@@ -326,11 +326,13 @@ def train_config(
         # step folds rng from state.step); cuts per-step host dispatch —
         # the measured bottleneck on 1-core hosts (BENCH.md).
         if K > 1:
+            scan_unroll = max(1, int(getattr(train_c, "scan_unroll", 1)))
+
             def _train_scan(state, cx, cv, ci, idx_k, key, beta):
                 def body(st, idx):
                     st, m = _train_gather(st, cx, cv, ci, idx, key, beta)
                     return st, m
-                return jax.lax.scan(body, state, idx_k)
+                return jax.lax.scan(body, state, idx_k, unroll=scan_unroll)
 
             train_step_k = jax.jit(_train_scan, donate_argnums=(0,))
 

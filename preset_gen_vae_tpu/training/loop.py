@@ -490,11 +490,11 @@ def train_config(
         if device_resident and K > 1 and not profiling:
             # K-step dispatch path: identical math to the per-step path
             # (verified by test_steps_per_dispatch_matches); host dispatch
-            # count drops by K. NOTE: measured on the tunneled v5e, scan
-            # iterations serialize on device (~3x the pipelined per-step
-            # rate) — the indexed-epoch K=1 path below is faster there;
-            # this path remains for hosts whose per-dispatch cost exceeds
-            # the scan serialization penalty.
+            # count drops by K. Measured full scale on the tunneled v5e
+            # (BENCH.md round 3): K=16 steady epoch 3.3 s vs 5.5-6.7 s for
+            # the per-step paths below — per-step dispatch costs ~5 ms of
+            # pure host time on the 1,072-leaf state no matter what the
+            # device does, so fewer dispatches win on weak hosts.
             beta_j = jnp.float32(beta)
             buf, i = [], -1
             flush_groups = max(1, FLUSH_EVERY // K)

@@ -148,7 +148,11 @@ class TrainConfig:
     # amortizes host dispatch — the bottleneck on weak-host machines.
     # -1: whole-epoch dispatch — K is set to the train loader's batch
     # count, so every epoch is ONE train dispatch + ONE validation scan.
-    steps_per_dispatch: int = 1
+    # Default 16: the measured-fastest mode on this host (BENCH.md round 3
+    # — per-step dispatch pays ~5 ms host time on the 1,072-leaf state, so
+    # K-step scans win; identical math either way, verified by
+    # test_steps_per_dispatch_matches).
+    steps_per_dispatch: int = 16
     # lax.scan unroll factor for the K-step/whole-epoch scans (>1 inlines
     # that many step bodies per scan iteration, letting XLA overlap work
     # across steps at the cost of compile time)

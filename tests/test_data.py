@@ -138,6 +138,9 @@ def test_structured_corpus_algo_restriction():
     p, _, _ = db.generate_structured_corpus(64, seed=1, algos=(3, 21))
     algo_of = np.rint(p[:, dx.IDX_ALGORITHM] * 31.0).astype(int) + 1
     assert set(algo_of) <= {3, 21}
+    p, _, _ = db.generate_structured_corpus_v2(64, seed=1, algos=(3, 21))
+    algo_of = np.rint(p[:, dx.IDX_ALGORITHM] * 31.0).astype(int) + 1
+    assert set(algo_of) <= {3, 21}
 
 
 @pytest.mark.slow

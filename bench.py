@@ -232,6 +232,21 @@ def main():
      per_step_rate, scan_rate) = _measure_batch(
         B, n_steps, n_trials, measure_scan=True
     )
+    # Plausibility gate on the scan figure: one measured window showed
+    # scan16 wall times implying >5x the chip's bf16 peak (block_until_ready
+    # returning early on this experimental backend, or an unadvertised
+    # larger allocation — either way not defensible as a per-chip rate).
+    # Headline the scan rate only when its implied MFU is physically
+    # possible for the advertised chip; otherwise fall back to the
+    # per-step dispatch rate and report the raw scan figure flagged.
+    scan_suspect = False
+    if flops_per_step > 0 and scan_rate > 0:
+        peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
+        if peak and (flops_per_step * scan_rate / B) > peak:
+            scan_suspect = True
+    if scan_suspect or scan_rate <= 0:
+        specs_per_sec = per_step_rate
+        step_s = B / per_step_rate
     out = {
         "metric": "flvae2_train_spectrograms_per_sec_per_chip",
         "value": round(specs_per_sec, 2),
@@ -240,6 +255,7 @@ def main():
         "trials": [round(r, 1) for r in trial_rates],
         "per_step_dispatch_specs_per_sec": round(per_step_rate, 2),
         "scan16_specs_per_sec": round(scan_rate, 2),
+        "scan16_rate_implausible_for_chip": scan_suspect,
         "host_loadavg_at_start": round(load1, 2),
     }
     if flops_per_step > 0:
@@ -262,9 +278,10 @@ def main():
         if cap_flops > 0:
             peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
             if peak:
-                out["capability_mfu"] = round(
-                    cap_flops / cap_step_s / peak, 4
-                )
+                cap_mfu = cap_flops / cap_step_s / peak
+                out["capability_mfu"] = round(cap_mfu, 4)
+                if cap_mfu > 1.0:
+                    out["capability_mfu_implausible_for_chip"] = True
     print(json.dumps(out))
 
 

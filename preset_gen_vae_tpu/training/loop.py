@@ -427,6 +427,7 @@ def train_config(
         # (reference checked per minibatch, train.py:245).
         FLUSH_EVERY = 16
         pending = []
+        deferred = []  # device-resident scalar stacks awaiting the epoch's one fetch
         # PGV_EPOCH_TIMING=1: print a per-epoch train/val/rest wall-time
         # breakdown (observability for the dispatch-bound-host analysis,
         # BENCH.md round 3)
@@ -459,24 +460,38 @@ def train_config(
                     vals["Controls/BackpropLoss"][j],
                 )
 
-        def _flush():
-            # ONE jitted stack + ONE device_get per flush: each scalar
-            # leaf fetch is a full round trip on tunneled chips (~3-4 ms);
-            # fetching the 7 scalars of every pending step individually
-            # measured ~25 ms/step and dominated the epoch (probe, BENCH.md
-            # round 3) — packing them into a single (n, 7[, K]) buffer
-            # makes the flush ~one round trip total.
-            if not pending:
-                return
-            arr = np.asarray(jax.device_get(
-                _stack_scalars([{k: m[k] for k in FLUSH_KEYS}
-                                for m in pending])
-            ))
+        def _ingest_stacked(arr):
             # row-major reshape keeps chronological step order for both
             # per-step (n,) and K-stacked (n, K) layouts
+            arr = np.asarray(arr)
             if arr.ndim == 3:  # K-stacked (n, keys, K) -> (n*K, keys)
                 arr = np.moveaxis(arr, 2, 1).reshape(-1, arr.shape[1])
             _ingest_scalar_rows(arr)
+
+        def _flush(defer=False):
+            # ONE jitted stack + ONE device_get per flush: each scalar
+            # leaf fetch is a full round trip on tunneled chips (~3-4 ms
+            # typical, 17.7 SECONDS in one measured window — BENCH.md
+            # round-3 probe; latency is per CALL, not per byte); fetching
+            # the 7 scalars of every pending step individually measured
+            # ~25 ms/step and dominated the epoch — packing them into a
+            # single (n, 7[, K]) buffer makes the flush ~one round trip.
+            # ``defer=True`` keeps the packed buffer device-resident so it
+            # rides the SAME device_get as the validation fetch:
+            # steady-state epochs then cost exactly ONE fetch total.
+            if not pending:
+                return
+            groups = {}  # partition by rank: K-group (K,) vs remainder ()
+            for m in pending:
+                groups.setdefault(jnp.ndim(m[FLUSH_KEYS[0]]), []).append(m)
+            for ms in groups.values():
+                stacked = _stack_scalars(
+                    [{k: m[k] for k in FLUSH_KEYS} for m in ms]
+                )
+                if defer:
+                    deferred.append(stacked)
+                else:
+                    _ingest_stacked(jax.device_get(stacked))
             if collect_train_latents:
                 for m_dev in pending:
                     lat = jax.device_get(m_dev["latents"])
@@ -486,6 +501,22 @@ def train_config(
                         z0 = z0.reshape(-1, z0.shape[-1])
                     scalars["LatCorr/Train"].append(z0_mu, z0)
             pending.clear()
+
+        def _drain_deferred(val_out=None):
+            """The epoch's ONE host fetch: deferred train-scalar stacks
+            and (optionally) the whole-validation scan output in a single
+            ``device_get`` call. Returns the fetched ``val_out``."""
+            if val_out is None and not deferred:
+                return None
+            host_def, val_host = jax.device_get((deferred, val_out))
+            for arr in host_def:
+                _ingest_stacked(arr)
+            deferred.clear()
+            return val_host
+
+        # defer the train-metric fetch to ride the validation fetch except
+        # on plot/profile epochs (those need per-step device dicts anyway)
+        _can_defer = not collect_train_latents and not profiling
 
         if device_resident and K > 1 and not profiling:
             # K-step dispatch path: identical math to the per-step path
@@ -509,7 +540,7 @@ def train_config(
                     pending.append(m)
                     i += K
                     if len(pending) >= flush_groups:
-                        _flush()
+                        _flush(defer=_can_defer)
                     logger.on_minibatch_finished(i)
             for batch in buf:  # remainder: single-step dispatches
                 state, m = train_step(
@@ -518,7 +549,7 @@ def train_config(
                 pending.append(m)
                 i += 1
                 logger.on_minibatch_finished(i)
-            _flush()
+            _flush(defer=_can_defer)
         elif device_resident and not profiling:
             # indexed-epoch path (default): ONE index-matrix upload per
             # epoch; per-step args are all device-resident (the batch-row
@@ -561,11 +592,12 @@ def train_config(
                     )
                     logger.on_minibatch_finished(i)
                 _t_disp = time.perf_counter() - _t_disp
-                _t0 = time.perf_counter()
-                _ingest_scalar_rows(np.asarray(jax.device_get(acc)))
+                # no fetch here: the (n_batches, keys) accumulator rides
+                # the validation device_get (_drain_deferred)
+                deferred.append(acc)
                 if _sec_timing:
                     print(f"[epoch {epoch}] disp={_t_disp:.3f}s "
-                          f"fetch={time.perf_counter() - _t0:.3f}s",
+                          f"(scalar fetch deferred to validation)",
                           flush=True)
         else:
           for i, batch in enumerate(
@@ -605,10 +637,9 @@ def train_config(
         if _sec_timing:
             _t_train, _t_sec = time.time() - _t_sec, time.time()
 
-        scalars["VAELoss/Train"] = logmetrics.SimpleMetric(
-            scalars["ReconsLoss/Backprop/Train"].get()
-            + scalars["LatLoss/Train"].get()
-        )
+        # (VAELoss/Train is computed after the validation fetch: under
+        # deferred flushing the train scalars land on the host as part of
+        # the validation device_get)
 
         # ---- validation (train.py:261-293)
         should_plot = (
@@ -636,7 +667,9 @@ def train_config(
             idx_all = np.stack(
                 list(loaders["validation"].epoch_index_batches(epoch))
             )
-            scal_st, lat_st = jax.device_get(
+            # the epoch's ONE device_get: deferred train scalars + the
+            # whole-validation scan output in a single round trip
+            scal_st, lat_st = _drain_deferred(
                 eval_scan(state, *corpus, jnp.asarray(idx_all))
             )
             for i in range(idx_all.shape[0]):
@@ -692,6 +725,11 @@ def train_config(
                 np.asarray(lh["z0_mu"], dtype=np.float32)[:n_real],
                 np.asarray(lh["z0"], dtype=np.float32)[:n_real],
             )
+        _drain_deferred()  # no-op unless a branch left scalars deferred
+        scalars["VAELoss/Train"] = logmetrics.SimpleMetric(
+            scalars["ReconsLoss/Backprop/Train"].get()
+            + scalars["LatLoss/Train"].get()
+        )
         scalars["VAELoss/Valid"] = logmetrics.SimpleMetric(
             scalars["ReconsLoss/Backprop/Valid"].get()
             + scalars["LatLoss/Valid"].get()

@@ -27,7 +27,27 @@ _LIB_PATHS = [
 ]
 
 
+def _build_lib() -> None:
+    """Build libdx7.so from source when absent (the .so is a build
+    artifact, not tracked in git — VERDICT r3 hygiene). One ~2 s g++
+    invocation; failures are non-fatal (engine_available() -> False)."""
+    csrc = _LIB_PATHS[0].parent
+    if not (csrc / "Makefile").exists():
+        return
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", str(csrc)], capture_output=True, timeout=120,
+            check=False,
+        )
+    except Exception:
+        pass
+
+
 def _load_lib() -> Optional[ctypes.CDLL]:
+    if not any(p.exists() for p in _LIB_PATHS):
+        _build_lib()
     for p in _LIB_PATHS:
         if p.exists():
             lib = ctypes.CDLL(str(p))

@@ -56,15 +56,22 @@ inline float level_to_db(float level) { return 0.74f * (level - 99.0f); }
 inline float db_to_lin(float db) { return std::pow(10.0f, db / 20.0f); }
 
 // EG rate (0..99) -> envelope slew in dB/second, via the DX7's documented
-// two-step law: the panel rate quantizes to a 6-bit qRate
-// (qr = rate * 41/64, i.e. 0..63), and the log-domain slew doubles every
-// 4 qRate steps. The absolute anchor is calibrated, not bit-measured:
-// qr=63 sweeps the full ~96 dB swing in ~10 ms (near-instant), qr=32
-// (panel ~50) in ~2 s, qr=0 in ~9 minutes — the DX7's documented
-// perceptual range. Pinned by golden timing tests (tests/test_synth.py).
+// quantized-timing law (engine v4): the panel rate quantizes to a 6-bit
+// qRate (qr = floor(rate * 41/64), 0..63), the slew doubles every 4 qRate
+// steps (qr >> 2 selects the octave), and WITHIN each group of 4 the
+// hardware steps through the quantized increment pattern {4,5,6,7}
+// (qr & 3) rather than smooth quarter-octave factors — the published DX7
+// EG timing structure. The absolute anchor is calibrated, not
+// bit-measured: qr=63 sweeps the full ~96 dB swing in ~10 ms
+// (near-instant), qr=32 (panel rate 50) in ~2.2 s, qr=0 in ~9.5 minutes —
+// the DX7's documented perceptual range. Pinned by golden timing tests
+// (tests/test_synth.py: decay slope at qr=32, exact 2x per +4 qr, and the
+// 4:5:6:7 within-group ratios).
 inline float rate_to_db_per_s(float r) {
-  float qr = std::min(63.0f, std::floor(r * 41.0f / 64.0f));
-  return 9600.0f * std::pow(2.0f, (qr - 63.0f) * 0.25f);
+  int qr = (int)std::min(63.0f, std::floor(r * 41.0f / 64.0f));
+  // 9600 dB/s at qr=63 (increment 7, octave 15): anchor / (7 * 2^15)
+  return 9600.0f / (7.0f * 32768.0f) * (float)(4 + (qr & 3)) *
+         (float)(1 << (qr >> 2));
 }
 
 struct OpParams {
@@ -275,7 +282,7 @@ const float kPmsSemis[8] = {0.0f, 0.09f, 0.20f, 0.43f, 0.87f, 1.79f, 3.66f, 7.0f
 
 }  // namespace
 
-extern "C" int dx7_engine_version() { return 3; }
+extern "C" int dx7_engine_version() { return 4; }
 
 extern "C" int dx7_samples_per_render(float total_s, int sample_rate) {
   if (sample_rate <= 0 || total_s <= 0.0f) return -1;

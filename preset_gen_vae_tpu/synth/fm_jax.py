@@ -153,8 +153,15 @@ def _level_to_db(level):
 
 
 def _rate_to_db_per_s(r):
+    """DX7 quantized EG timing law, engine v4 (matches
+    dx7_engine.cc rate_to_db_per_s): qr = floor(rate*41/64), slew doubles
+    every 4 qr steps, within-group increments follow the hardware's
+    {4,5,6,7} pattern (qr & 3). Straight-through gradients so the rate
+    params stay trainable through the quantization."""
     qr = jnp.minimum(63.0, _ste(jnp.floor, r * (41.0 / 64.0)))
-    return 9600.0 * jnp.exp2((qr - 63.0) * 0.25)
+    octave = _ste(jnp.floor, qr * 0.25)
+    fine = qr - 4.0 * octave  # (qr & 3) with STE gradients
+    return (9600.0 / (7.0 * 32768.0)) * (4.0 + fine) * jnp.exp2(octave)
 
 
 def decode_presets(p):

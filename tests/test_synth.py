@@ -184,17 +184,35 @@ def _rms_db(w, lo_s, hi_s, fs=22050):
 
 
 def test_eg_release_decay_rate_golden(renderer):
-    """Golden timing for the EG rate law: panel rate quantizes to
-    qRate = floor(rate*41/64) and the dB slew doubles every 4 qRate steps
-    anchored at 9600 dB/s for qr=63 (engine v3 law). Release rate 50 ->
-    qr=32 -> 9600 * 2^(-7.75) = 44.59 dB/s, measured over the post-note-off
-    linear-decay region."""
+    """Golden timing for the quantized EG rate law (engine v4): panel rate
+    quantizes to qRate = floor(rate*41/64); slew = 9600/(7*2^15) *
+    (4 + (qr&3)) * 2^(qr>>2) dB/s — the documented DX7 structure (octave
+    per 4 qr steps, {4,5,6,7} within-group increments) anchored at
+    9600 dB/s for qr=63. Release rate 50 -> qr=32 -> 9600*4*2^8/(7*2^15) =
+    42.86 dB/s, measured over the post-note-off linear-decay region."""
     p = _single_sine_op_preset(seed=7)
     p[dx.op_param_index(1, dx.OFF_EG_RATES[3])] = 50.0 / 99.0
     w = renderer.render_note(p, 60, 100)
     # note-off at 3.0 s; windows 0.5 s apart, both inside the decay ramp
     drop_db = _rms_db(w, 3.1, 3.2) - _rms_db(w, 3.6, 3.7)
-    assert drop_db == pytest.approx(44.59 * 0.5, abs=2.0)
+    assert drop_db == pytest.approx(42.86 * 0.5, abs=2.0)
+
+
+def test_eg_release_rate_within_group_4567(renderer):
+    """Within one qRate octave group the slews follow the hardware's
+    quantized {4,5,6,7} increment pattern: qr=32..35 -> decay slopes in
+    ratio 4:5:6:7 (engine v4 law; panel rates 50,52,54,55 map to those
+    qr values via floor(rate*41/64))."""
+    drops = []
+    for rate in (50.0, 52.0, 54.0, 55.0):  # qr = 32, 33, 34, 35
+        p = _single_sine_op_preset(seed=8)
+        p[dx.op_param_index(1, dx.OFF_EG_RATES[3])] = rate / 99.0
+        w = renderer.render_note(p, 60, 100)
+        drops.append(_rms_db(w, 3.1, 3.2) - _rms_db(w, 3.6, 3.7))
+    for i, inc in enumerate((5.0, 6.0, 7.0)):
+        assert drops[i + 1] == pytest.approx(
+            drops[0] * inc / 4.0, rel=0.12
+        ), (drops, i)
 
 
 def test_eg_release_rate_doubles_every_4_qrate(renderer):

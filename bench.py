@@ -71,6 +71,112 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_SPECS_PER_SEC_EST = 500.0
 
+# A measured window (BENCH.md round-3 probe) put the true on-device scan
+# advantage over per-step dispatch at <=1.9x in BOTH tunnel regimes; a scan
+# wall rate far above the same window's per-step rate therefore signals an
+# early-returning block_until_ready, not real compute. 3x leaves headroom
+# for hosts slower than this one while rejecting the observed 17x anomaly.
+SCAN_VS_PER_STEP_PLAUSIBLE_RATIO = 3.0
+
+
+def _probe_chip_regime():
+    """Characterize THIS capture window before measuring (VERDICT r3 #3).
+
+    The axon attachment swings through order-of-magnitude performance
+    regimes within an hour (BENCH.md round-3 table: on-device step 16.4 vs
+    ~4-5 ms, device_get RTT 17.7 s vs milliseconds). Two tiny probes make a
+    capture self-describing so a throttled window reads as environment,
+    not regression:
+
+    - sync dispatch of a tiny jitted op (host dispatch + uplink + trivial
+      device work), best of 20;
+    - ``device_get`` of ONE f32 scalar (downlink RTT), best of 3;
+    - a known-FLOPs bf16 matmul chain, FETCH-timed (the chip-THROTTLE
+      detector: round 3 measured windows where host dispatch and RTT are
+      fast but sustained on-device compute runs at ~1/3.5 rate — code-
+      independent evidence that a low capture is environment).
+
+    Regime is "slow" when any leg degrades: dispatch > 5 ms, RTT > 1 s,
+    or the matmul chain achieves < 35% of the advertised bf16 peak (a
+    single large matmul reaches well above that in healthy windows)."""
+    tiny = jax.jit(lambda a: a + 1.0)
+    a = jnp.zeros((8,), jnp.float32)
+    a = tiny(a)  # compile
+    jax.block_until_ready(a)
+    best_disp = float("inf")
+    for _ in range(20):
+        t0 = time.perf_counter()
+        jax.block_until_ready(tiny(a))
+        best_disp = min(best_disp, time.perf_counter() - t0)
+    best_rtt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jax.device_get(a[0]))
+        best_rtt = min(best_rtt, time.perf_counter() - t0)
+
+    N, CHAIN = 4096, 64
+
+    def mm_chain(x, w):
+        def body(c, _):
+            return jnp.tanh(c @ w), None
+        y, _ = jax.lax.scan(body, x, None, length=CHAIN)
+        return y
+    mm = jax.jit(mm_chain)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (N, N), jnp.bfloat16) * 0.01
+    w = jax.random.normal(key, (N, N), jnp.bfloat16) * 0.01
+    y = mm(x, w)  # compile
+    jax.block_until_ready(y)
+    mm_flops = 2.0 * N * N * N * CHAIN
+    best_mm = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jax.device_get(mm(x, w)[0, 0]))  # value-dependent fetch
+        best_mm = min(best_mm, time.perf_counter() - t0)
+    # the fetch-timed window includes one downlink RTT (measured above);
+    # subtract it so the figure reflects compute, not the tunnel
+    best_mm = max(best_mm - best_rtt, 1e-4)
+    mm_tflops = mm_flops / best_mm / 1e12
+    peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind, 197e12)
+    mm_frac = mm_tflops * 1e12 / peak
+
+    # HBM-bandwidth leg: a large strided reduction is bandwidth-bound
+    # (arithmetic intensity ~0), unlike the compute-bound matmul chain
+    # above. One round-3/4 window measured the MXU at full rate while the
+    # flagship step ran 5x slow — only a bandwidth probe separates
+    # "HBM/interconnect throttled" from "code regression".
+    M = 64 * 1024 * 1024  # 256 MB f32
+    big = jnp.ones((M,), jnp.float32)
+    PASSES = 8
+
+    def bw_fn(v):
+        def body(c, _):
+            return c * 1.0000001, None  # read + write M f32 per pass
+        y, _ = jax.lax.scan(body, v, None, length=PASSES)
+        return y[0] + y[-1]
+    bw = jax.jit(bw_fn)
+    jax.block_until_ready(bw(big))
+    best_bw = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jax.device_get(bw(big)))
+        best_bw = min(best_bw, time.perf_counter() - t0)
+    best_bw = max(best_bw - best_rtt, 1e-4)
+    hbm_gbps = 2.0 * 4.0 * M * PASSES / best_bw / 1e9  # rd+wr bytes/s
+    # v5e HBM2 ~819 GB/s advertised; fraction against that nominal figure
+    hbm_frac = hbm_gbps / 819.0
+
+    slow = (best_disp > 5e-3 or best_rtt > 1.0 or mm_frac < 0.35
+            or hbm_frac < 0.35)
+    return ("slow" if slow else "fast"), {
+        "probe_tiny_dispatch_ms": round(best_disp * 1e3, 3),
+        "probe_device_get_rtt_ms": round(best_rtt * 1e3, 3),
+        "probe_matmul_tflops_per_sec": round(mm_tflops, 1),
+        "probe_matmul_frac_of_peak": round(mm_frac, 3),
+        "probe_hbm_gb_per_sec": round(hbm_gbps, 1),
+        "probe_hbm_frac_of_nominal": round(hbm_frac, 3),
+    }
+
 # bf16 dense peak per chip, by jax device_kind. "TPU v5 lite" is v5e:
 # 197 TFLOP/s bf16 (public spec). MFU is computed against the bf16 peak
 # even though parts of the step run f32 — the conservative convention.
@@ -109,11 +215,13 @@ def _measure_batch(B: int, n_steps: int, n_trials: int,
 
     ``measure_scan=True`` additionally times the K=16 ``lax.scan`` step —
     the training loop's DEFAULT epoch mode (``steps_per_dispatch=16``,
-    config.py) — and returns both rates. Per-call dispatch overhead on the
+    config.py) — two ways: block_until_ready-timed (historical figure,
+    gated in main() against the early-return anomaly) and FETCH-timed
+    (clock stops on a device_get of the content-dependent final loss —
+    trustworthy by construction). Per-call dispatch overhead on the
     1,072-leaf donated state varies 0.1–14 ms across tunnel windows
-    (BENCH.md round-3 probe); the scan mode is immune to it, so whichever
-    pattern is faster in the capture window is the rate production
-    training actually achieves."""
+    (BENCH.md round-3 probe); the scan mode is immune to it. main()
+    headlines the fastest TRUSTWORTHY pattern."""
     from __graft_entry__ import _flagship_configs
     from preset_gen_vae_tpu.models import build as mbuild
     from preset_gen_vae_tpu.training import create_train_state, make_train_step
@@ -183,6 +291,7 @@ def _measure_batch(B: int, n_steps: int, n_trials: int,
     specs_per_sec = B * n_steps / best_dt
 
     scan_rate = 0.0
+    scan_fetch_rate = 0.0
     if measure_scan:
         K = 16
         xk = jnp.tile(x[None], (K, 1, 1, 1, 1))
@@ -198,7 +307,7 @@ def _measure_batch(B: int, n_steps: int, n_trials: int,
         scan16 = jax.jit(_scan_step, donate_argnums=(0,))
         state, m = scan16(state, xk, vk, ik, key, beta)
         jax.block_until_ready(m["TotalLoss"])
-        n_scans = max(1, round(n_steps / K))
+        n_scans = max(2, round(n_steps / K))
         best_scan_dt = float("inf")
         for _ in range(n_trials):
             t0 = time.perf_counter()
@@ -208,9 +317,32 @@ def _measure_batch(B: int, n_steps: int, n_trials: int,
             best_scan_dt = min(best_scan_dt, time.perf_counter() - t0)
         scan_rate = B * K * n_scans / best_scan_dt
 
+        # Fetch-timed scan window (VERDICT r3 #2 / advisor r3 medium):
+        # stop the clock only after ``device_get`` returns the final-step
+        # TotalLoss — a value that cannot exist until every step of every
+        # scan in the trial has actually run (the state is donated and
+        # threaded through all of them), so an early-returning
+        # block_until_ready cannot inflate this figure. The fetch adds one
+        # downlink RTT per trial (milliseconds in fast windows; best-of-N
+        # discards pathological-RTT windows), amortized over
+        # n_scans*K steps.
+        best_fetch_dt = float("inf")
+        fetched_loss = float("nan")
+        for _ in range(n_trials):
+            t0 = time.perf_counter()
+            for _ in range(n_scans):
+                state, m = scan16(state, xk, vk, ik, key, beta)
+            last = float(np.asarray(jax.device_get(m["TotalLoss"]))[-1])
+            dt = time.perf_counter() - t0
+            if dt < best_fetch_dt:
+                best_fetch_dt, fetched_loss = dt, last
+        scan_fetch_rate = B * K * n_scans / best_fetch_dt
+        if not np.isfinite(fetched_loss):
+            scan_fetch_rate = 0.0  # non-finite loss: window not valid
+
     best_rate = max(specs_per_sec, scan_rate)
     return (best_rate, flops_per_step, B / best_rate, trial_rates,
-            specs_per_sec, scan_rate)
+            specs_per_sec, scan_rate, scan_fetch_rate)
 
 
 def main():
@@ -228,33 +360,51 @@ def main():
     except OSError:
         load1 = -1.0
 
+    chip_regime, probe = _probe_chip_regime()
+    if chip_regime == "slow":
+        # a throttled/high-RTT window needs more chances to catch the
+        # machine's actual rate; extend trials within the wall budget
+        n_trials += 4
+
     (specs_per_sec, flops_per_step, step_s, trial_rates,
-     per_step_rate, scan_rate) = _measure_batch(
+     per_step_rate, scan_rate, scan_fetch_rate) = _measure_batch(
         B, n_steps, n_trials, measure_scan=True
     )
-    # Plausibility gate on the scan figure: one measured window showed
-    # scan16 wall times implying >5x the chip's bf16 peak (block_until_ready
-    # returning early on this experimental backend, or an unadvertised
-    # larger allocation — either way not defensible as a per-chip rate).
-    # Headline the scan rate only when its implied MFU is physically
-    # possible for the advertised chip; otherwise fall back to the
-    # per-step dispatch rate and report the raw scan figure flagged.
+    # Trustworthiness of the three patterns (VERDICT r3 #2, advisor r3):
+    # - per_step_rate: block-timed, but 20 async dispatches + one block is
+    #   the loop's own pattern; never observed inflated. Trusted.
+    # - scan_fetch_rate: the clock stops on a device_get of the final-step
+    #   loss, a value that requires all the compute. Trusted by
+    #   construction (the fetch RTT can only UNDERstate it).
+    # - scan_rate (block-timed): one window implied 5.8x the chip's bf16
+    #   peak (early-returning block_until_ready on this experimental
+    #   backend). Gate on (a) implied MFU <= 1.0 for the advertised chip
+    #   AND (b) consistency with the same window's per-step rate (measured
+    #   true scan advantage is <=1.9x; see SCAN_VS_PER_STEP_PLAUSIBLE_RATIO).
     scan_suspect = False
     if flops_per_step > 0 and scan_rate > 0:
         peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
         if peak and (flops_per_step * scan_rate / B) > peak:
             scan_suspect = True
-    if scan_suspect or scan_rate <= 0:
-        specs_per_sec = per_step_rate
-        step_s = B / per_step_rate
+    if (per_step_rate > 0
+            and scan_rate > SCAN_VS_PER_STEP_PLAUSIBLE_RATIO * per_step_rate):
+        scan_suspect = True
+    candidates = [per_step_rate, scan_fetch_rate]
+    if not scan_suspect:
+        candidates.append(scan_rate)
+    specs_per_sec = max(candidates)
+    step_s = B / specs_per_sec
     out = {
         "metric": "flvae2_train_spectrograms_per_sec_per_chip",
         "value": round(specs_per_sec, 2),
         "unit": "spectrograms/sec",
         "vs_baseline": round(specs_per_sec / REFERENCE_SPECS_PER_SEC_EST, 3),
+        "chip_regime": chip_regime,
+        **probe,
         "trials": [round(r, 1) for r in trial_rates],
         "per_step_dispatch_specs_per_sec": round(per_step_rate, 2),
         "scan16_specs_per_sec": round(scan_rate, 2),
+        "scan16_fetch_timed_specs_per_sec": round(scan_fetch_rate, 2),
         "scan16_rate_implausible_for_chip": scan_suspect,
         "host_loadavg_at_start": round(load1, 2),
     }
@@ -270,7 +420,7 @@ def main():
     # parity batch 160 underfills the MXU — BENCH.md)
     cap_B = int(os.environ.get("BENCH_CAPABILITY_BATCH", "512"))
     if cap_B > 0 and (time.perf_counter() - t_start) < budget_s:
-        cap_rate, cap_flops, cap_step_s, _, _, _ = _measure_batch(
+        cap_rate, cap_flops, cap_step_s, _, _, _, _ = _measure_batch(
             cap_B, max(n_steps // 2, 5), max(n_trials - 2, 3)
         )
         out["capability_batch"] = cap_B

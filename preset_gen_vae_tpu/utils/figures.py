@@ -74,6 +74,90 @@ def plot_spearman_correlation(latent_metric):
     return fig, ax
 
 
+def plot_synth_preset_param(
+    ref_preset, inferred_preset=None, preset_UID=None, idx_helper=None
+):
+    """Fader-style scatter of ONE full (VSTi-representation) preset, GT vs
+    optionally inferred, with per-param quantization-step overlays and
+    learnable/fixed coloring (reference: utils/figures.py:166-221; the
+    reference takes a dataset for metadata — here the PresetIndexesHelper
+    carries the same spec: names, cardinalities, learnable mask)."""
+    ref_preset = np.asarray(ref_preset, dtype=np.float32)
+    P = len(ref_preset)
+    if inferred_preset is not None:
+        inferred_preset = np.asarray(inferred_preset, dtype=np.float32)
+        assert len(inferred_preset) == P
+    fig, ax = plt.subplots(1, 1, figsize=(max(8, P * 0.09), 4))
+    learnable = np.ones(P, dtype=bool)
+    names = None
+    if idx_helper is not None:
+        learnable = np.asarray(
+            [idx_helper.full_to_learnable[i] is not None for i in range(P)]
+        )
+        names = idx_helper.vst_param_names
+        # quantized-step overlays (discrete params, reference :179-189)
+        for i in range(P):
+            card = int(idx_helper.vst_param_cardinals[i])
+            if 2 <= card <= 33:
+                steps = np.linspace(0.0, 1.0, num=card)
+                ax.scatter(np.full(card, i), steps, marker="_",
+                           color="lightgrey", s=14, zorder=1)
+    ax.scatter(np.arange(P)[learnable], ref_preset[learnable],
+               color="tab:blue", s=12, zorder=3, label="GT (learnable)")
+    if (~learnable).any():
+        ax.scatter(np.arange(P)[~learnable], ref_preset[~learnable],
+                   color="grey", s=12, zorder=2, label="GT (fixed)")
+    if inferred_preset is not None:
+        ax.scatter(np.arange(P)[learnable], inferred_preset[learnable],
+                   color="tab:orange", s=12, zorder=4, marker="x",
+                   label="inferred")
+    # vertical "fader" separators (reference :218)
+    for xx in np.arange(P + 1) - 0.5:
+        ax.axvline(xx, color="k", lw=0.2, alpha=0.3)
+    ax.set_xlim(-0.5, P - 0.5)
+    ax.set_ylim(-0.05, 1.05)
+    ax.set_ylabel("Param. value")
+    step = max(1, P // 24)
+    ax.set_xticks(range(0, P, step))
+    if names is not None:
+        ax.set_xticklabels(
+            [f"{i}.{names[i]}" for i in range(0, P, step)],
+            rotation=90, fontsize=5,
+        )
+    if preset_UID is not None:
+        ax.set_title(f"Preset UID={preset_UID} (VSTi numerical parameters)")
+    ax.legend(fontsize=6, loc="upper right")
+    fig.tight_layout()
+    return fig, ax
+
+
+def plot_synth_learnable_preset(
+    learnable_preset, idx_helper, preset_UID=None
+):
+    """Fader-style scatter of ONE preset in its LEARNABLE-tensor
+    representation, with quantization steps per learnable slot
+    (reference: utils/figures.py:242-270)."""
+    v = np.asarray(learnable_preset, dtype=np.float32)
+    P = v.shape[0]
+    assert P == idx_helper.learnable_preset_size
+    fig, ax = plt.subplots(1, 1, figsize=(max(8, P * 0.06), 4))
+    for i in range(P):
+        steps = idx_helper.get_learnable_param_quantized_steps(i)
+        if steps is not None and 2 <= len(steps) <= 33:
+            ax.scatter(np.full(len(steps), i), steps, marker="_",
+                       color="lightgrey", s=10, zorder=1)
+    ax.scatter(np.arange(P), v, color="tab:blue", s=8, zorder=3)
+    ax.set_xlim(-0.5, P - 0.5)
+    ax.set_ylim(-0.05, 1.05)
+    ax.set_ylabel("Param. value")
+    ax.set_xlabel("learnable slot")
+    ax.set_xticks(range(0, P, max(1, P // 24)))
+    if preset_UID is not None:
+        ax.set_title(f"Preset UID={preset_UID} (learnable parameters)")
+    fig.tight_layout()
+    return fig, ax
+
+
 def plot_synth_preset_error(
     v_error: np.ndarray, idx_helper=None, max_params: int = 155
 ):

@@ -29,6 +29,27 @@ def test_figures_render(rng):
     plt.close("all")
 
 
+def test_preset_param_figures_render(rng):
+    """The two single-preset fader plots (reference figures.py:166-270):
+    full-representation GT-vs-inferred and learnable-representation."""
+    from preset_gen_vae_tpu.data.dexed_dataset import build_dexed_preset_spec
+    from preset_gen_vae_tpu.data.preset import PresetIndexesHelper
+
+    helper = PresetIndexesHelper(build_dexed_preset_spec())
+    full = rng.random(helper.full_preset_size).astype(np.float32)
+    inferred = np.clip(full + 0.05, 0, 1)
+    fig, _ = figures.plot_synth_preset_param(
+        full, inferred, preset_UID=7, idx_helper=helper
+    )
+    assert fig is not None
+    v = rng.random(helper.learnable_preset_size).astype(np.float32)
+    fig, _ = figures.plot_synth_learnable_preset(v, helper, preset_UID=7)
+    assert fig is not None
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
+
+
 def test_wav_roundtrip(tmp_path):
     # local seed (not the session rng): samples must stay inside [-1, 1] —
     # 16-bit wav clips anything beyond full scale

@@ -273,27 +273,54 @@ def evaluate_model(
         ):
             gt_cache = _gt_audio_cached(dataset, renderer, info_cat)
 
+        # Pipelined fetch: dispatches for batch i+1 go out BEFORE batch i's
+        # metrics are fetched, so the downlink round trip overlaps the next
+        # batch's device render — on tunneled chips the fetch RTT was a
+        # serial per-batch cost (VERDICT r3 #6: jax-backend eval wall time).
+        pending = None
+
+        def _drain(errs):
+            errs_h = jax.device_get(errs)
+            for k in audio_metrics:
+                audio_metrics[k] += list(np.asarray(errs_h[k]))
+
         for s in range(0, len(inferred_full), B):
             fi = inferred_full[s : s + B]
             ii = info_cat[s : s + B]
             if gt_cache is not None:
                 gt = jnp.asarray(np.asarray(gt_cache[s : s + B]))
+                est = _render(fi, ii[:, 1], ii[:, 2])
+            elif use_jax_render:
+                # GT + inferred in ONE render dispatch (halves the number
+                # of long per-sample-scan kernels queued per batch)
+                gt_presets = np.stack(
+                    [dataset.get_full_preset_params(int(u)) for u in ii[:, 0]]
+                )
+                both = _render(
+                    np.concatenate([gt_presets, fi]),
+                    np.concatenate([ii[:, 1], ii[:, 1]]),
+                    np.concatenate([ii[:, 2], ii[:, 2]]),
+                )
+                gt, est = both[: len(ii)], both[len(ii):]
             else:
                 gt_presets = np.stack(
                     [dataset.get_full_preset_params(int(u)) for u in ii[:, 0]]
                 )
                 gt = _render(gt_presets, ii[:, 1], ii[:, 2])
-            est = _render(fi, ii[:, 1], ii[:, 2])
+                est = _render(fi, ii[:, 1], ii[:, 2])
             errs = batched_audio_errors(
                 gt, est,
                 model_c.stft_args[0], model_c.stft_args[1],
                 model_c.sampling_rate,
             )
-            # ONE fetch for all four metric vectors (each device_get is a
-            # full round trip on tunneled chips)
-            errs_h = jax.device_get(errs)
-            for k in audio_metrics:
-                audio_metrics[k] += list(np.asarray(errs_h[k]))
+            # ONE fetch for all four metric vectors per batch (each
+            # device_get is a full round trip on tunneled chips), deferred
+            # by one batch so it overlaps the next dispatch
+            if pending is not None:
+                _drain(pending)
+            pending = errs
+        if pending is not None:
+            _drain(pending)
         for k, vals in audio_metrics.items():
             df[k] = vals
         if _timing:

@@ -176,7 +176,17 @@ class PresetDataset:
             os.environ.get("PGV_SPEC_ON_ACCELERATOR", "0") == "1"
             and jax.devices()[0].platform == "tpu"
         )
-        if on_accel:
+        # 'jax' corpus render backend (DexedDataset kwarg): render AND
+        # transform fused in one device program per chunk — no host audio.
+        # Pads the tail chunk so one compiled shape serves the whole pass;
+        # the per-chunk device->host fetch is the (chunk, H, W) spectrogram
+        # block, ~50x smaller than the waveforms it replaces.
+        jax_render = getattr(self, "corpus_render_backend", "cpp") == "jax"
+        if jax_render:
+            import jax.numpy as jnp
+
+            fused = self._fused_render_spec_fn(chunk)
+        elif on_accel:
             from ..ops.pallas_mel import PallasSpectrogramProcessor
 
             spec_fn = PallasSpectrogramProcessor(self.spectrogram.config)
@@ -188,6 +198,21 @@ class PresetDataset:
         for note_i, (pitch, vel) in enumerate(self.midi_notes):
             note_specs = []
             for s in range(0, len(uids), chunk):
+                if jax_render:
+                    p_chunk = presets[s : s + chunk]
+                    n_real = p_chunk.shape[0]
+                    if n_real < chunk:  # pad tail to the compiled shape
+                        p_chunk = np.concatenate(
+                            [p_chunk,
+                             np.tile(p_chunk[-1:], (chunk - n_real, 1))]
+                        )
+                    sp = fused(
+                        jnp.asarray(p_chunk),
+                        jnp.full((chunk,), pitch, jnp.int32),
+                        jnp.full((chunk,), vel, jnp.int32),
+                    )
+                    note_specs.append(np.asarray(sp[:n_real]))
+                    continue
                 wav = self.render_audio_batch(
                     presets[s : s + chunk], pitch, vel
                 )

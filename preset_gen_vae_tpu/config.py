@@ -148,10 +148,12 @@ class TrainConfig:
     # amortizes host dispatch — the bottleneck on weak-host machines.
     # -1: whole-epoch dispatch — K is set to the train loader's batch
     # count, so every epoch is ONE train dispatch + ONE validation scan.
-    # Default 16: the measured-fastest mode on this host (BENCH.md round 3
-    # — per-step dispatch pays ~5 ms host time on the 1,072-leaf state, so
-    # K-step scans win; identical math either way, verified by
-    # test_steps_per_dispatch_matches).
+    # Default 16: measured at full scale (BENCH.md round 4 — steady epoch
+    # 3.36 s at K=16 vs 3.39 s whole-epoch vs 5.55 s per-step, same
+    # window): K=16 ties the whole-epoch mode while compiling 4 minutes
+    # faster on a 1-core host; per-step pays ~18 ms/step host+tunnel
+    # overhead. Identical math in every mode, verified by
+    # test_steps_per_dispatch_matches.
     steps_per_dispatch: int = 16
     # lax.scan unroll factor for the K-step/whole-epoch scans (>1 inlines
     # that many step bodies per scan iteration, letting XLA overlap work

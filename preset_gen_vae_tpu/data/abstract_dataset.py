@@ -154,7 +154,9 @@ class PresetDataset:
     def _compute_spec_corpus(self, chunk: int = 64) -> np.ndarray:
         """Renders + transforms the whole corpus, on device, chunked.
         Returns raw (pre-normalization) log spectrograms
-        (N_presets, n_notes, H, W) float32."""
+        (N_presets, n_notes, H, W) — float32 for the host-render backends,
+        float16 for the fully-on-device 'jax' backend (whose exact f32
+        corpus stats land in ``self._device_spec_stats``)."""
         import jax
         import jax.numpy as jnp
 
@@ -178,14 +180,40 @@ class PresetDataset:
         )
         # 'jax' corpus render backend (DexedDataset kwarg): render AND
         # transform fused in one device program per chunk — no host audio.
-        # Pads the tail chunk so one compiled shape serves the whole pass;
-        # the per-chunk device->host fetch is the (chunk, H, W) spectrogram
-        # block, ~50x smaller than the waveforms it replaces.
+        # Pads the tail chunk so one compiled shape serves the whole pass.
+        # On a tunneled accelerator the pass is DOWNLINK-bound (the raw
+        # corpus is ~11 GB f32 at 30k presets vs a ~0.3-20 MB/s down
+        # direction), so three things keep that direction minimal:
+        #   - corpus min/max/mean/std accumulate ON DEVICE in f32 (exact,
+        #     pre-quantization; the padded tail rows are mask-weighted
+        #     out), so stats never need the f32 tensor on the host;
+        #   - the spectrogram block is fetched as fp16 (half the bytes;
+        #     log-mel magnitudes ~10 keep fp16 abs error ~5e-3, far inside
+        #     the jax-vs-cpp engine tolerance of tests/test_corpus_jax_render.py,
+        #     and the training cache tier is fp16 anyway);
+        #   - the fetch of chunk i is overlapped with the async-dispatched
+        #     device compute of chunk i+1.
         jax_render = getattr(self, "corpus_render_backend", "cpp") == "jax"
         if jax_render:
+            import math
+
             import jax.numpy as jnp
 
             fused = self._fused_render_spec_fn(chunk)
+            stats_acc = {"mn": math.inf, "mx": -math.inf,
+                         "s": 0.0, "ss": 0.0, "n": 0}
+            pending = None  # (device (spec_fp16, stats4), n_real)
+
+            def _drain(note_out):
+                out, n_real = pending
+                sp16, st4 = out
+                note_out.append(np.asarray(sp16[:n_real]))
+                st = np.asarray(st4, dtype=np.float64)
+                stats_acc["mn"] = min(stats_acc["mn"], float(st[0]))
+                stats_acc["mx"] = max(stats_acc["mx"], float(st[1]))
+                stats_acc["s"] += float(st[2])
+                stats_acc["ss"] += float(st[3])
+                stats_acc["n"] += n_real * int(sp16.shape[1] * sp16.shape[2])
         elif on_accel:
             from ..ops.pallas_mel import PallasSpectrogramProcessor
 
@@ -206,12 +234,17 @@ class PresetDataset:
                             [p_chunk,
                              np.tile(p_chunk[-1:], (chunk - n_real, 1))]
                         )
-                    sp = fused(
+                    w = np.zeros((chunk,), np.float32)
+                    w[:n_real] = 1.0
+                    out = fused(
                         jnp.asarray(p_chunk),
                         jnp.full((chunk,), pitch, jnp.int32),
                         jnp.full((chunk,), vel, jnp.int32),
-                    )
-                    note_specs.append(np.asarray(sp[:n_real]))
+                        jnp.asarray(w),
+                    )  # async dispatch: device starts on this chunk now
+                    if pending is not None:
+                        _drain(note_specs)  # fetch previous while it runs
+                    pending = (out, n_real)
                     continue
                 wav = self.render_audio_batch(
                     presets[s : s + chunk], pitch, vel
@@ -219,7 +252,19 @@ class PresetDataset:
                 note_specs.append(
                     np.asarray(spec_fn(jax.device_put(wav, device)))
                 )
+            if jax_render and pending is not None:
+                _drain(note_specs)
+                pending = None
             outs.append(np.concatenate(note_specs, axis=0))
+        if jax_render:
+            mean = stats_acc["s"] / stats_acc["n"]
+            var = stats_acc["ss"] / stats_acc["n"] - mean * mean
+            self._device_spec_stats = {
+                "min": float(stats_acc["mn"]),
+                "max": float(stats_acc["mx"]),
+                "mean": float(mean),
+                "std": float(math.sqrt(max(var, 0.0))),
+            }
         return np.stack(outs, axis=1)  # (N, n_notes, H, W)
 
     def _compute_stats(self, specs: np.ndarray) -> Dict[str, float]:
@@ -263,7 +308,10 @@ class PresetDataset:
         took ~3 min of CPU for 30k presets; here the corpus pass is the
         same device computation that builds the training tensors."""
         raw = np.asarray(self._compute_spec_corpus())
-        self.spec_stats = self._compute_stats(raw)
+        self.spec_stats = (
+            getattr(self, "_device_spec_stats", None)
+            or self._compute_stats(raw)
+        )
         d = self._corpus_cache_dir()
         per = raw.reshape(raw.shape[0], -1)
         import csv
@@ -308,7 +356,10 @@ class PresetDataset:
                 self.spec_stats = json.load(f)
         else:
             raw = self._compute_spec_corpus()
-            self.spec_stats = self._compute_stats(raw)
+            self.spec_stats = (
+                getattr(self, "_device_spec_stats", None)
+                or self._compute_stats(raw)
+            )
             np.save(spec_path, raw)
             with open(stats_path, "w") as f:
                 json.dump(self.spec_stats, f)

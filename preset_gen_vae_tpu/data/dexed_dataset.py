@@ -189,12 +189,16 @@ class DexedDataset(PresetDataset):
         )
 
     def _fused_render_spec_fn(self, chunk: int):
-        """One jitted device function: (chunk, 155) presets -> (chunk, H, W)
-        log-mel spectrograms — FM render (synth/fm_jax.py) fused with the
-        matmul-rDFT frontend in a single XLA program, so the offline corpus
-        pass never materializes audio on the host (the reference renders
-        per-preset wavs through a process pool and re-reads them,
-        dexeddataset.py:278-328)."""
+        """One jitted device function: (chunk, 155) presets -> fp16
+        (chunk, H, W) log-mel spectrograms plus a 4-vector of f32 corpus
+        stats [min, max, sum, sum-of-squares] over the weight-masked rows —
+        FM render (synth/fm_jax.py) fused with the matmul-rDFT frontend in
+        a single XLA program, so the offline corpus pass never materializes
+        audio on the host (the reference renders per-preset wavs through a
+        process pool and re-reads them, dexeddataset.py:278-328). ``w`` is
+        1.0 for real rows and 0.0 for the padded tail copies, so the stats
+        are exact for the true corpus; they are computed in f32 BEFORE the
+        fp16 cast that halves the device->host fetch."""
         import jax
         import jax.numpy as jnp
 
@@ -207,13 +211,22 @@ class DexedDataset(PresetDataset):
         feedback = self._corpus_render_feedback
 
         @jax.jit
-        def fused(presets, pitches, velocities):
+        def fused(presets, pitches, velocities, w):
             wav = fm_jax.render_batch(
                 presets, pitches, velocities,
                 note_on_s=note_on_s, total_s=total_s, sample_rate=sr,
                 feedback=feedback,
             )
-            return spec(wav)
+            sp = spec(wav).astype(jnp.float32)  # (chunk, H, W)
+            wm = w[:, None, None] > 0
+            big = jnp.float32(3.4e38)
+            stats = jnp.stack([
+                jnp.min(jnp.where(wm, sp, big)),
+                jnp.max(jnp.where(wm, sp, -big)),
+                jnp.sum(jnp.where(wm, sp, 0.0)),
+                jnp.sum(jnp.where(wm, jnp.square(sp), 0.0)),
+            ])
+            return sp.astype(jnp.float16), stats
 
         return fused
 

@@ -39,6 +39,30 @@ def test_jax_corpus_matches_cpp(tmp_path):
 
 
 @pytest.mark.slow
+def test_jax_corpus_device_stats_and_fp16_tier(tmp_path):
+    """The jax backend accumulates exact f32 corpus stats ON DEVICE (the
+    padded tail chunk must be mask-weighted out) and fetches/caches the
+    raw tier as fp16 — the downlink/disk halving that makes the on-device
+    pass viable on a tunneled attachment."""
+    ds = DexedDataset(
+        n_synthetic_presets=5,  # chunk=64 pads 59 tail rows: exercises w
+        spectrogram_normalization=None,
+        corpus_render_backend="jax",
+        data_root=tmp_path,
+    )
+    spec = ds.load_spectrogram_corpus()
+    dev = ds._device_spec_stats
+    host = ds._compute_stats(spec)  # from the fp16-rounded values
+    for k in ("min", "max", "mean", "std"):
+        assert dev[k] == pytest.approx(host[k], rel=1e-2, abs=1e-2), (
+            k, dev, host)
+    assert ds.spec_stats == dev  # the pass served the device stats
+    raw = np.load(ds._corpus_cache_dir() / "specs_raw.npy", mmap_mode="r")
+    assert raw.dtype == np.float16
+    assert raw.shape[0] == 5  # pad rows never reach the cache
+
+
+@pytest.mark.slow
 def test_jax_corpus_sidecar_keys_backend(tmp_path):
     ds = DexedDataset(
         n_synthetic_presets=4, corpus_render_backend="jax",

@@ -73,6 +73,14 @@ class ModelConfig:
         None,
         (1, 2, 3, 4, 5, 6),
     )
+    # Offline corpus render engine: 'cpp' = native host engine (ctypes
+    # thread pool), 'jax' = fused on-device FM render + spectrogram
+    # (data/dexed_dataset.py _fused_render_spec_fn). Backends cache in
+    # distinct namespaces and match within the engines' golden tolerance
+    # (tests/test_corpus_jax_render.py); no reference analog (the
+    # reference renders offline wav corpora through a VST process pool,
+    # dexeddataset.py:278-328).
+    dataset_corpus_render_backend: str = "cpp"
     logs_root_dir: str = "saved"
 
 
@@ -327,6 +335,9 @@ _MODEL_ATTRS_TO_CHECK = (
     "stft_args",
     "spectrogram_size",
     "mel_bins",
+    # engine choice changes the rendered training data, so a resume must
+    # not silently switch it (caches are namespaced per backend)
+    "dataset_corpus_render_backend",
 )
 _TRAIN_ATTRS_TO_CHECK = (
     "minibatch_size",

@@ -32,6 +32,9 @@ def model_config_to_dataset_kwargs(model_config: ModelConfig) -> Dict:
         ),
         restrict_to_labels=model_config.dataset_labels,
         sample_rate=model_config.sampling_rate,
+        corpus_render_backend=getattr(
+            model_config, "dataset_corpus_render_backend", "cpp"
+        ),
     )
 
 

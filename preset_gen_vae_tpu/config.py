@@ -81,6 +81,13 @@ class ModelConfig:
     # reference renders offline wav corpora through a VST process pool,
     # dexeddataset.py:278-328).
     dataset_corpus_render_backend: str = "cpp"
+    # Corpus residency: 'disk' = two-tier npy cache (reloadable runs);
+    # 'device' = the normalized corpus is built and stays ON the
+    # accelerator (requires the 'jax' backend; single-host; nothing
+    # persisted) — removes the corpus round trip on tunneled attachments
+    # where the device->host fetch dominates the offline pass (BENCH.md
+    # round 4: 3,792 s fetch-bound vs pure device compute).
+    dataset_corpus_cache_policy: str = "disk"
     logs_root_dir: str = "saved"
 
 

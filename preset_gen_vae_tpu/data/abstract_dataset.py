@@ -69,6 +69,7 @@ class PresetDataset:
         )
         self.data_root = pathlib.Path(data_root) if data_root else default_data_root()
         self._spec_cache: Optional[np.ndarray] = None  # (N_presets, n_notes, H, W)
+        self._spec_cache_device = None  # jax array, corpus_cache_policy='device'
         self.spec_stats: Optional[Dict[str, float]] = None
 
     # ------------------------------------------------------------------
@@ -372,6 +373,130 @@ class PresetDataset:
             self._spec_cache = f16.astype(np.float32)
         return self._spec_cache
 
+    def load_spectrogram_corpus_device(self, dtype=None, chunk: int = 64):
+        """Device-resident corpus pass (``corpus_cache_policy='device'``):
+        render, stats and normalization all run on the accelerator and the
+        normalized corpus is returned as a jax array in ``dtype`` (default
+        float16, the disk cache tier's dtype) — the host never touches the
+        spectrogram tensor and nothing is written to disk.
+
+        Motivation (measured, BENCH.md round 4): on this tunneled TPU
+        attachment the 'jax' backend's disk-cache pass is DOWNLINK-bound —
+        30,720 presets took 3,792 s, almost all of it fetching the ~5.5 GB
+        fp16 corpus through a ~1.5 MB/s down direction — while the training
+        pipeline immediately re-uploads the same tensor into HBM. Handing
+        training the device-rendered corpus directly removes the host round
+        trip entirely. (The reference's offline pipeline is a host process
+        pool writing per-preset wavs, dexeddataset.py:278-328.)
+
+        Numerical contract: the value chain mirrors the disk path — raw
+        log-mels round to fp16 (the cache tier's quantization), the
+        normalize affine runs in f16 arithmetic (as numpy's weak promotion
+        does on the f16 raw tier) from exact f32 min/max device
+        reductions, then casts to ``dtype``. Cross-policy values agree to
+        a few f16 ulps, not bit-for-bit: XLA may tile the render/rDFT
+        reductions differently per chunk shape (the disk pass pads every
+        corpus to 64-row chunks; this one clamps chunk to P and
+        re-renders the last ``chunk`` presets as its tail) and may lower
+        the f16 affine differently than numpy (e.g. reciprocal-multiply).
+        WITHIN the policy the corpus is memoized and training is exactly
+        reproducible (tests/test_corpus_device.py).
+
+        Memory: one (P, n_notes, H, W) fp16 buffer plus one chunk in
+        flight; the finalize pass donates the buffer, so a 2-byte
+        ``dtype`` peaks near 1x corpus size — a 30k one-note corpus
+        (5.5 GB) or a 16k 3-note corpus (8.8 GB) fits a 16 GB chip with
+        training state headroom.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        dtype = np.dtype(dtype or jnp.float16)  # ml_dtypes covers bfloat16
+        if (
+            self._spec_cache_device is not None
+            and self._spec_cache_device.dtype == dtype
+        ):
+            return self._spec_cache_device
+        if getattr(self, "corpus_render_backend", "cpp") != "jax":
+            raise ValueError(
+                "device-resident corpus requires corpus_render_backend='jax'"
+            )
+        uids = self.valid_preset_UIDs
+        P = len(uids)
+        chunk = max(1, min(chunk, P))
+        presets = np.stack([self.get_full_preset_params(u) for u in uids])
+        fused = self._fused_render_spec_fn(chunk)
+        _, H, W = self.get_spectrogram_tensor_size()
+        n_notes = len(self.midi_notes)
+        buf = jnp.zeros((P, n_notes, H, W), jnp.float16)
+
+        def _write(b, sp16, s, note_i):
+            # starts are traced scalars: one compile serves every chunk.
+            # Every write is in-bounds by construction (full chunks, and a
+            # tail that starts at P-chunk), so DUS clamping never fires.
+            return jax.lax.dynamic_update_slice(
+                b, sp16[:, None], (s, note_i, jnp.int32(0), jnp.int32(0))
+            )
+
+        # donated: the corpus buffer is updated in place chunk by chunk
+        write = jax.jit(_write, donate_argnums=0)
+        starts = list(range(0, P - chunk + 1, chunk))
+        tail_overlap = 0
+        if P % chunk:
+            tail_overlap = chunk - (P % chunk)
+            starts.append(P - chunk)
+        stats_parts, ns = [], []
+        for note_i, (pitch, vel) in enumerate(self.midi_notes):
+            pitches = jnp.full((chunk,), pitch, jnp.int32)
+            vels = jnp.full((chunk,), vel, jnp.int32)
+            for k, s in enumerate(starts):
+                w = np.ones((chunk,), np.float32)
+                n_real = chunk
+                if tail_overlap and k == len(starts) - 1:
+                    # the overlap rows were already rendered by the previous
+                    # chunk; re-rendering them is <=chunk-1 cheap device
+                    # renders and keeps every buffer row real — they are
+                    # masked out of the stats so nothing double-counts
+                    w[:tail_overlap] = 0.0
+                    n_real = chunk - tail_overlap
+                sp16, st4 = fused(
+                    jnp.asarray(presets[s : s + chunk]),
+                    pitches, vels, jnp.asarray(w),
+                )
+                buf = write(buf, sp16, np.int32(s), np.int32(note_i))
+                stats_parts.append(st4)
+                ns.append(n_real)
+        allst = np.asarray(jax.device_get(jnp.stack(stats_parts)), np.float64)
+        n_el = float(sum(ns)) * H * W
+        mean = float(allst[:, 2].sum() / n_el)
+        var = float(allst[:, 3].sum() / n_el) - mean * mean
+        self.spec_stats = {
+            "min": float(allst[:, 0].min()),
+            "max": float(allst[:, 1].max()),
+            "mean": mean,
+            "std": float(np.sqrt(max(var, 0.0))),
+        }
+        self._device_spec_stats = dict(self.spec_stats)
+        st, norm = self.spec_stats, self.spectrogram_normalization
+
+        def _finalize(b):
+            # the affine runs IN FLOAT16, matching the disk path's numpy
+            # arithmetic exactly: there the raw tier is f16 and NEP50 weak
+            # promotion keeps `(raw - min) / c` in f16 (python-float
+            # scalars don't promote), so each op rounds to f16 — jnp's
+            # weak promotion does the same here, op for op
+            x = b
+            if norm == "min_max":  # same affine as _normalize
+                x = -1.0 + (x - st["min"]) / ((st["max"] - st["min"]) / 2.0)
+            elif norm == "mean_std":
+                x = (x - st["mean"]) / st["std"]
+            return x.astype(dtype)
+
+        buf = jax.jit(_finalize, donate_argnums=0)(buf)
+        buf.block_until_ready()
+        self._spec_cache_device = buf
+        return buf
+
     def _normalize(self, spec: np.ndarray) -> np.ndarray:
         st = self.spec_stats
         if self.spectrogram_normalization == "min_max":  # -> [-1, 1]
@@ -405,17 +530,28 @@ class PresetDataset:
     # ------------------------------------------------------------------
     # Whole-corpus tensors for the TPU input pipeline
     # ------------------------------------------------------------------
-    def corpus_tensors(self) -> Dict[str, np.ndarray]:
+    def corpus_tensors(self, dtype=None) -> Dict[str, np.ndarray]:
         """All items as dense arrays: x (N_items, C, H, W), v (N_items, L),
         info (N_items, 3). The input pipeline shuffles / shards / gathers
-        from these — no per-item Python on the hot path."""
-        specs = self.load_spectrogram_corpus()  # (P, n_notes, H, W)
+        from these — no per-item Python on the hot path.
+
+        ``corpus_cache_policy='device'`` serves x as a jax array straight
+        from the on-device render pass (see
+        ``load_spectrogram_corpus_device`` for the numerical contract vs
+        the disk tiers), in ``dtype`` (the training compute dtype — built
+        there directly so no corpus-sized cast buffer ever exists); host
+        consumers (the loaders' numpy gathers) work unchanged since jax
+        arrays support numpy fancy indexing."""
+        if getattr(self, "corpus_cache_policy", "disk") == "device":
+            specs = self.load_spectrogram_corpus_device(dtype=dtype)
+        else:
+            specs = self.load_spectrogram_corpus()  # (P, n_notes, H, W)
         uids = np.asarray(self.valid_preset_UIDs)
         presets = np.stack([self.get_full_preset_params(u) for u in uids])
         learnable = self.preset_indexes_helper.full_to_learnable_batch(presets)
         P, n_notes = specs.shape[0], specs.shape[1]
         if self._stacked or n_notes == 1:
-            x = specs if self._stacked else specs[:, :1]
+            x = specs  # n_notes==1 already has the (P, 1, H, W) layout
             p0, v0 = self.midi_notes[0]
             info = np.stack(
                 [uids, np.full(P, p0), np.full(P, v0)], axis=1

@@ -35,6 +35,9 @@ def model_config_to_dataset_kwargs(model_config: ModelConfig) -> Dict:
         corpus_render_backend=getattr(
             model_config, "dataset_corpus_render_backend", "cpp"
         ),
+        corpus_cache_policy=getattr(
+            model_config, "dataset_corpus_cache_policy", "disk"
+        ),
     )
 
 

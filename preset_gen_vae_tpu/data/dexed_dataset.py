@@ -54,6 +54,7 @@ class DexedDataset(PresetDataset):
         data_root=None,
         corpus_render_backend: str = "cpp",
         corpus_render_feedback: str = "exact",
+        corpus_cache_policy: str = "disk",
     ):
         super().__init__(
             note_duration=note_duration,
@@ -85,6 +86,18 @@ class DexedDataset(PresetDataset):
             raise ValueError(f"corpus_render_backend={corpus_render_backend!r}")
         self.corpus_render_backend = corpus_render_backend
         self._corpus_render_feedback = corpus_render_feedback
+        # 'disk' = classic two-tier npy cache; 'device' = the corpus stays
+        # a jax array from render to training (requires the 'jax' backend;
+        # nothing written to disk — for one-shot runs on tunneled
+        # attachments where the corpus fetch dominates; see
+        # PresetDataset.load_spectrogram_corpus_device)
+        if corpus_cache_policy not in ("disk", "device"):
+            raise ValueError(f"corpus_cache_policy={corpus_cache_policy!r}")
+        if corpus_cache_policy == "device" and corpus_render_backend != "jax":
+            raise ValueError(
+                "corpus_cache_policy='device' requires corpus_render_backend='jax'"
+            )
+        self.corpus_cache_policy = corpus_cache_policy
         # both flags change the rendered audio and MUST key the caches
         # (reference checks both: dexeddataset.py:313-328)
         self._constant_filter_and_tune = bool(constant_filter_and_tune_params)

@@ -110,7 +110,20 @@ def get_split_loaders(
     """'train'/'validation'/'test' loaders (reference: data/build.py:43-79 +
     sampler.py:17-59). Validation/test batches are full minibatch-sized too
     (the reference evaluates at the train batch size, train.py:261-293)."""
-    tensors = dataset.corpus_tensors()
+    if getattr(dataset, "corpus_cache_policy", "disk") == "device":
+        # device-resident corpus: build it directly in the training compute
+        # dtype so no corpus-sized cast buffer ever materializes (a 16 GB
+        # chip cannot hold two copies of a 30k 1-note / 16k 3-note corpus)
+        import jax.numpy as jnp
+
+        dt = (
+            jnp.bfloat16
+            if getattr(train_config, "compute_dtype", "float32") == "bfloat16"
+            else jnp.float32
+        )
+        tensors = dataset.corpus_tensors(dtype=dt)
+    else:
+        tensors = dataset.corpus_tensors()
     splits = build_subset_item_indexes(
         dataset,
         k_fold=train_config.current_k_fold if k_fold is None else k_fold,

@@ -207,6 +207,12 @@ def train_config(
     device_resident = (
         bool(getattr(train_c, "dataset_cache_device", True)) and not multihost
     )
+    if multihost and isinstance(loaders["train"].tensors.get("x"), jax.Array):
+        raise ValueError(
+            "corpus_cache_policy='device' is a single-host path (multihost "
+            "hosts feed their local batch shards from host memory); build "
+            "the dataset with corpus_cache_policy='disk' for pod runs"
+        )
     K = int(getattr(train_c, "steps_per_dispatch", 1))
     if K == -1:
         # whole-epoch dispatch: one lax.scan covers every train batch of an
@@ -228,23 +234,41 @@ def train_config(
         from ..utils.fast_cast import f32_to_bf16
 
         tensors = loaders["train"].tensors
-        # bf16 cast happens ON HOST: uploading the f32 corpus and casting
-        # on device would transiently hold 1.5x the corpus in HBM (a 30k
-        # Dexed corpus is 10.9 GB f32 — that alone OOMs a 16 GB chip).
-        # f32_to_bf16 is the vectorized bit-twiddle: ml_dtypes' astype runs
-        # <10 MB/s and took ~20 min on the same corpus.
-        x_np = (
-            f32_to_bf16(np.asarray(tensors["x"]))
-            if train_c.compute_dtype == "bfloat16"
-            else np.asarray(tensors["x"], dtype=np.float32)
-        )
         repl = replicated_sharding(mesh)
+        if isinstance(tensors["x"], jax.Array):
+            # corpus_cache_policy='device': x arrives already on device in
+            # the compute dtype straight from the on-device render pass
+            # (data/pipeline.py) — no host cast, no re-upload. device_put
+            # onto the same single-device sharding is a no-op placement.
+            want = (
+                jnp.bfloat16
+                if train_c.compute_dtype == "bfloat16"
+                else jnp.float32
+            )
+            x_dev = tensors["x"]
+            if x_dev.dtype != want:  # small-corpus / test paths only
+                x_dev = x_dev.astype(want)
+            x_dev = jax.device_put(x_dev, repl)
+        else:
+            # bf16 cast happens ON HOST: uploading the f32 corpus and
+            # casting on device would transiently hold 1.5x the corpus in
+            # HBM (a 30k Dexed corpus is 10.9 GB f32 — that alone OOMs a
+            # 16 GB chip). f32_to_bf16 is the vectorized bit-twiddle:
+            # ml_dtypes' astype runs <10 MB/s and took ~20 min on the
+            # same corpus.
+            x_np = (
+                f32_to_bf16(np.asarray(tensors["x"]))
+                if train_c.compute_dtype == "bfloat16"
+                else np.asarray(tensors["x"], dtype=np.float32)
+            )
+            x_dev = jax.device_put(x_np, repl)
+            del x_np
         corpus = (
-            jax.device_put(x_np, repl),
+            x_dev,
             jax.device_put(np.asarray(tensors["v"], dtype=np.float32), repl),
             jax.device_put(np.asarray(tensors["info"]), repl),
         )
-        del x_np
+        del x_dev
         batch_spec = NamedSharding(mesh, P("data"))
 
         def _gather(cx, cv, ci, idx):

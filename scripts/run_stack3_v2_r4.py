@@ -1,0 +1,83 @@
+"""Round-4 stretch: full-scale multi-note flagship on corpus v2 — the two
+measured audio-match levers combined. Round 2 showed 3-note stacked input
+gives the best audio-similarity numbers of any family (BENCH.md: spec MAE
+0.190 at 4,096 v1 presets); round 4's A/B showed corpus v2 halves spec MAE
+at full scale. This protocol trains the 3-note stacked flagship
+(reference multi-note contract: encoder.py:95-100 single-CNN-multi-channel
+mode, config.py:155 stacked-vs-multiplied dataset semantics) on 16,384
+structured2 presets.
+
+16,384 (not 30,720) because the HBM-resident corpus is per-note: a 3-note
+bf16 corpus at 30,720 presets is ~16.4 GB — past the v5e's 16 GB HBM once
+the 700 MB train state and activations join it. 16,384 x 3 notes ~ 8.8 GB
+leaves comfortable headroom and is still 4x the round-2 stacked corpus.
+
+Run (TPU queue slot, idle host):
+  python scripts/run_stack3_v2_r4.py [n_presets] [epochs]
+Prints one JSON line at the end (train summary + full eval metrics).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+from preset_gen_vae_tpu import config as cfg
+from preset_gen_vae_tpu.data import build as data_build
+from preset_gen_vae_tpu.evaluation.evaluate import evaluate_model
+from preset_gen_vae_tpu.logs.logger import get_run_dir, list_checkpoint_epochs
+from preset_gen_vae_tpu.training.loop import train_config
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    run = f"r4stack3_v2_{n}"
+    model_c = cfg.ModelConfig(
+        run_name=run,
+        midi_notes=((40, 85), (50, 85), (60, 85)),
+        stack_spectrograms=True,
+    )
+    train_c = cfg.TrainConfig(
+        n_epochs=epochs, save_period=max(epochs // 2, 1), verbosity=0
+    )
+    model_r, train_r = cfg.resolve(model_c, train_c)
+    dataset = data_build.get_dataset(
+        model_r, train_r, n_synthetic_presets=n,
+        synthetic_style="structured2",
+    )
+    t0 = time.time()
+    summary = train_config(model_c, train_c, dataset=dataset,
+                           use_tensorboard=False)
+    train_s = time.time() - t0
+
+    ep = list_checkpoint_epochs(model_r)[-1]
+    ec = cfg.EvalConfig(epoch=ep, dataset="validation",
+                        override_previous_eval=True)
+    t0 = time.time()
+    evaluate_model(model_c, train_c, ec, dataset=dataset)
+    eval_s = time.time() - t0
+    run_dir = get_run_dir(cfg.resolve(model_c, train_c)[0])
+    with open(run_dir / "eval_validation_summary.json") as f:
+        s = json.load(f)
+    print(json.dumps({
+        "run": run, "n_presets": n, "style": "structured2",
+        "midi_notes": 3, "stacked": True,
+        "epochs_trained": summary.get("epochs_trained"),
+        "train_wall_s": round(train_s, 1),
+        "eval_wall_s": round(eval_s, 1),
+        **{k: round(v, 4) if isinstance(v, float) else v
+           for k, v in s.items()},
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -12,7 +12,10 @@ dexeddataset.py:278-328.
 
 Run (TPU queue slot, idle host):
   python scripts/time_corpus_render_r4.py [n_presets] [backends]
-defaults: 30720 jax,cpp. Prints one JSON line per backend.
+defaults: 30720 jax,cpp. Prints one JSON line per backend. Backend
+'device' times corpus_cache_policy='device' (the round-4 render-to-train
+path: nothing fetched, nothing persisted — the corpus stays in HBM), the
+number that matters for one-shot runs on this tunneled attachment.
 """
 
 from __future__ import annotations
@@ -35,12 +38,21 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30720
     backends = sys.argv[2].split(",") if len(sys.argv) > 2 else ["jax", "cpp"]
     for backend in backends:
-        ds = DexedDataset(
-            n_synthetic_presets=n, corpus_render_backend=backend
-        )
-        t0 = time.time()
-        spec = ds.load_spectrogram_corpus(force_recompute=True)
-        wall = time.time() - t0
+        if backend == "device":
+            ds = DexedDataset(
+                n_synthetic_presets=n, corpus_render_backend="jax",
+                corpus_cache_policy="device",
+            )
+            t0 = time.time()
+            spec = ds.load_spectrogram_corpus_device()
+            wall = time.time() - t0
+        else:
+            ds = DexedDataset(
+                n_synthetic_presets=n, corpus_render_backend=backend
+            )
+            t0 = time.time()
+            spec = ds.load_spectrogram_corpus(force_recompute=True)
+            wall = time.time() - t0
         print(json.dumps({
             "metric": "corpus_build_wall_s",
             "backend": backend,

@@ -45,6 +45,12 @@ def main() -> None:
         run_name=run,
         midi_notes=((40, 85), (50, 85), (60, 85)),
         stack_spectrograms=True,
+        # render-to-train: the 49k renders (16,384 presets x 3 notes) run
+        # fused on device and the ~8.8 GB bf16 corpus never leaves HBM
+        # (92.4 s for 30,720 1-note renders measured, BENCH.md round 4 —
+        # vs ~30 min through the C++ host engine)
+        dataset_corpus_render_backend="jax",
+        dataset_corpus_cache_policy="device",
     )
     train_c = cfg.TrainConfig(
         n_epochs=epochs, save_period=max(epochs // 2, 1), verbosity=0

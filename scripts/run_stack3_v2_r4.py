@@ -7,10 +7,14 @@ at full scale. This protocol trains the 3-note stacked flagship
 mode, config.py:155 stacked-vs-multiplied dataset semantics) on 16,384
 structured2 presets.
 
-16,384 (not 30,720) because the HBM-resident corpus is per-note: a 3-note
-bf16 corpus at 30,720 presets is ~16.4 GB — past the v5e's 16 GB HBM once
-the 700 MB train state and activations join it. 16,384 x 3 notes ~ 8.8 GB
-leaves comfortable headroom and is still 4x the round-2 stacked corpus.
+8,192 (not 30,720) because the HBM-resident corpus is per-note AND the
+K=16 scan's gather lowering needs corpus-scale temps: at 16,384 x 3 the
+compile OOM'd at 24.56G/15.75G — XLA materializes a full-corpus layout
+copy (9.28G `copy(cx.1)`) plus a [P,3,257,256] gather-slice temp (6.19G)
+inside the while loop on top of the 8.95G argument (measured, round-4
+log). The steady-state gather cost is therefore ~2.7x the corpus, putting
+the 3-note ceiling near 9k presets. 8,192 x 3 notes (~4.1 GB) fits with
+headroom and is still 2x the round-2 stacked corpus.
 
 Run (TPU queue slot, idle host):
   python scripts/run_stack3_v2_r4.py [n_presets] [epochs]
@@ -38,17 +42,17 @@ from preset_gen_vae_tpu.training.loop import train_config
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 400
     run = f"r4stack3_v2_{n}"
     model_c = cfg.ModelConfig(
         run_name=run,
         midi_notes=((40, 85), (50, 85), (60, 85)),
         stack_spectrograms=True,
-        # render-to-train: the 49k renders (16,384 presets x 3 notes) run
-        # fused on device and the ~8.8 GB bf16 corpus never leaves HBM
+        # render-to-train: the ~25k renders (8,192 presets x 3 notes) run
+        # fused on device and the ~4.1 GB bf16 corpus never leaves HBM
         # (92.4 s for 30,720 1-note renders measured, BENCH.md round 4 —
-        # vs ~30 min through the C++ host engine)
+        # vs ~15 min through the C++ host engine)
         dataset_corpus_render_backend="jax",
         dataset_corpus_cache_policy="device",
     )

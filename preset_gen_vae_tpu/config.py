@@ -157,6 +157,12 @@ class TrainConfig:
     force_multihost_data: bool = False
     compute_dtype: str = "bfloat16"  # matmul/conv compute dtype on TPU
     dataset_cache_device: bool = True  # keep the spectrogram corpus in HBM
+    # Shard the HBM-resident corpus's rows over the mesh's 'data' axis
+    # (per-device HBM ~P/n_data rows; the batch gather partitions as
+    # local-gather + mask + psum — tests/test_corpus_sharded.py pins that
+    # no corpus-sized all-gather appears). False replicates the corpus
+    # per device (pre-round-5 behavior). Irrelevant on a 1-device mesh.
+    corpus_rows_sharded: bool = True
     # >1: chain K train steps into ONE device dispatch (lax.scan over K
     # index batches, device-resident corpus only). Identical math/PRNG
     # stream to K=1 (the step folds its own rng from state.step); it only
@@ -195,8 +201,13 @@ class EvalConfig:
     epoch: int = -1
     # 'cpp' = host C++ thread-pool render (reference-like); 'jax' = batched
     # on-device render through synth/fm_jax.py (both GT and inferred presets
-    # go through the same engine)
-    audio_render_backend: str = "cpp"
+    # go through the same engine). Default 'jax' on measurement: the round-4
+    # full-scale timing (saved/r4_eval_timing3.log, BENCH.md) put the jax
+    # backend 3.4x faster end-to-end (215.8 s vs 736.0 s) with every audio
+    # metric identical to the C++ engine within 4e-5 at exact feedback.
+    # 'cpp' remains available as the engine-independence cross-check
+    # (tests/test_synth.py pins the two engines against each other).
+    audio_render_backend: str = "jax"
     # feedback solve for the 'jax' backend: 'exact' (per-sample scan,
     # matches the C++ engine — the DEFAULT: eval is where fidelity matters,
     # VERDICT r3 #6) or 'unrolled' (fast fixed-point approximation,

@@ -69,7 +69,8 @@ class PresetDataset:
         )
         self.data_root = pathlib.Path(data_root) if data_root else default_data_root()
         self._spec_cache: Optional[np.ndarray] = None  # (N_presets, n_notes, H, W)
-        self._spec_cache_device = None  # jax array, corpus_cache_policy='device'
+        # ChunkedDeviceCorpus (corpus_device.py), corpus_cache_policy='device'
+        self._spec_cache_device = None
         self.spec_stats: Optional[Dict[str, float]] = None
 
     # ------------------------------------------------------------------
@@ -331,8 +332,11 @@ class PresetDataset:
         """Memoized + disk-cached normalized spectrogram corpus
         (N_presets, n_notes, H, W) float32.
 
-        Two cache tiers: ``specs_raw.npy`` (f32, pre-normalization — kept
-        for the stats pass and re-normalization) and ``specs_norm_f16.npy``
+        Two cache tiers: ``specs_raw.npy`` (pre-normalization — f32 for
+        the host render backends, fp16 for the 'jax' backend whose exact
+        f32 stats are device-reduced before the fp16 fetch; the tier's
+        dtype+stats provenance is pinned by the render-constraints
+        sidecar, ``raw_tier`` key) and ``specs_norm_f16.npy``
         (normalized, fp16). Reloads read the fp16 tier: half the disk IO
         and no normalize pass — a 30k corpus reload drops from ~6 min to
         ~1.5 min on a 1-core host. fp16 carries 11 mantissa bits on the
@@ -402,14 +406,24 @@ class PresetDataset:
         WITHIN the policy the corpus is memoized and training is exactly
         reproducible (tests/test_corpus_device.py).
 
-        Memory: one (P, n_notes, H, W) fp16 buffer plus one chunk in
-        flight; the finalize pass donates the buffer, so a 2-byte
-        ``dtype`` peaks near 1x corpus size — a 30k one-note corpus
-        (5.5 GB) or a 16k 3-note corpus (8.8 GB) fits a 16 GB chip with
-        training state headroom.
+        Memory: the corpus is built DIRECTLY in the column-chunked 2-D
+        row layout the training gather consumes (see
+        ``data/corpus_device.py`` — the 4-D layout's in-scan gather cost
+        corpus-scale XLA temps and OOM'd the 16k 3-note flagship at
+        compile, round-4 measurement), one fp16 buffer per column chunk
+        plus one render chunk in flight; the finalize pass donates each
+        buffer, so a 2-byte ``dtype`` peaks near 1x corpus size — a 30k
+        one-note corpus (5.5 GB) or a 16k 3-note corpus (8.8 GB) fits a
+        16 GB chip with training state headroom.
+
+        Returns a ``ChunkedDeviceCorpus`` (rows = presets, note-major
+        column spans); callers needing the dense host tensor use its
+        ``as_numpy_4d()``.
         """
         import jax
         import jax.numpy as jnp
+
+        from .corpus_device import ChunkedDeviceCorpus, plan_note_chunks
 
         dtype = np.dtype(dtype or jnp.float16)  # ml_dtypes covers bfloat16
         if (
@@ -428,17 +442,25 @@ class PresetDataset:
         fused = self._fused_render_spec_fn(chunk)
         _, H, W = self.get_spectrogram_tensor_size()
         n_notes = len(self.midi_notes)
-        buf = jnp.zeros((P, n_notes, H, W), jnp.float16)
+        hw = H * W
+        hw_pad, note_spans = plan_note_chunks(P, hw)
+        # one raw-f16 buffer per (note, column span), note-major — the
+        # ChunkedDeviceCorpus chunk order
+        bufs = [
+            jnp.zeros((P, width), jnp.float16)
+            for _ in range(n_notes)
+            for (_off, width) in note_spans
+        ]
 
-        def _write(b, sp16, s, note_i):
-            # starts are traced scalars: one compile serves every chunk.
-            # Every write is in-bounds by construction (full chunks, and a
-            # tail that starts at P-chunk), so DUS clamping never fires.
-            return jax.lax.dynamic_update_slice(
-                b, sp16[:, None], (s, note_i, jnp.int32(0), jnp.int32(0))
-            )
+        def _write(b, piece, s):
+            # start is a traced scalar: one compile per (chunk, width)
+            # shape serves every render chunk. Every write is in-bounds
+            # by construction (full chunks, and a tail that starts at
+            # P-chunk), so DUS clamping never fires. Pad columns beyond
+            # a span's real width stay zero and are sliced off at gather.
+            return jax.lax.dynamic_update_slice(b, piece, (s, jnp.int32(0)))
 
-        # donated: the corpus buffer is updated in place chunk by chunk
+        # donated: each corpus buffer is updated in place chunk by chunk
         write = jax.jit(_write, donate_argnums=0)
         starts = list(range(0, P - chunk + 1, chunk))
         tail_overlap = 0
@@ -463,7 +485,15 @@ class PresetDataset:
                     jnp.asarray(presets[s : s + chunk]),
                     pitches, vels, jnp.asarray(w),
                 )
-                buf = write(buf, sp16, np.int32(s), np.int32(note_i))
+                flat = sp16.reshape(chunk, hw)
+                for j, (off, width) in enumerate(note_spans):
+                    end = min(off + width, hw)
+                    if off >= hw:
+                        continue
+                    bi = note_i * len(note_spans) + j
+                    bufs[bi] = write(
+                        bufs[bi], flat[:, off:end], np.int32(s)
+                    )
                 stats_parts.append(st4)
                 ns.append(n_real)
         allst = np.asarray(jax.device_get(jnp.stack(stats_parts)), np.float64)
@@ -492,10 +522,19 @@ class PresetDataset:
                 x = (x - st["mean"]) / st["std"]
             return x.astype(dtype)
 
-        buf = jax.jit(_finalize, donate_argnums=0)(buf)
-        buf.block_until_ready()
-        self._spec_cache_device = buf
-        return buf
+        fin = jax.jit(_finalize, donate_argnums=0)
+        bufs = [fin(b) for b in bufs]
+        for b in bufs:
+            b.block_until_ready()
+        self._spec_cache_device = ChunkedDeviceCorpus(
+            tuple(bufs), P, n_notes, H, W, hw_pad,
+            tuple(
+                (note_i, off, width)
+                for note_i in range(n_notes)
+                for (off, width) in note_spans
+            ),
+        )
+        return self._spec_cache_device
 
     def _normalize(self, spec: np.ndarray) -> np.ndarray:
         st = self.spec_stats
@@ -535,30 +574,45 @@ class PresetDataset:
         info (N_items, 3). The input pipeline shuffles / shards / gathers
         from these — no per-item Python on the hot path.
 
-        ``corpus_cache_policy='device'`` serves x as a jax array straight
-        from the on-device render pass (see
-        ``load_spectrogram_corpus_device`` for the numerical contract vs
-        the disk tiers), in ``dtype`` (the training compute dtype — built
-        there directly so no corpus-sized cast buffer ever exists); host
-        consumers (the loaders' numpy gathers) work unchanged since jax
-        arrays support numpy fancy indexing."""
-        if getattr(self, "corpus_cache_policy", "disk") == "device":
-            specs = self.load_spectrogram_corpus_device(dtype=dtype)
-        else:
-            specs = self.load_spectrogram_corpus()  # (P, n_notes, H, W)
+        ``corpus_cache_policy='device'`` serves x as a
+        ``ChunkedDeviceCorpus`` (data/corpus_device.py) straight from the
+        on-device render pass (see ``load_spectrogram_corpus_device`` for
+        the numerical contract vs the disk tiers), in ``dtype`` (the
+        training compute dtype — built there directly so no corpus-sized
+        cast buffer ever exists); host consumers (the loaders' fancy
+        indexing) work unchanged through its ``__getitem__``, which
+        gathers on device and returns float32. The un-stacked multi-note
+        mode is a zero-copy VIEW over the same device chunks (item ->
+        (preset, note) resolves inside the gather), so no (P*n, 1, H, W)
+        reshape buffer ever exists in HBM."""
         uids = np.asarray(self.valid_preset_UIDs)
         presets = np.stack([self.get_full_preset_params(u) for u in uids])
         learnable = self.preset_indexes_helper.full_to_learnable_batch(presets)
-        P, n_notes = specs.shape[0], specs.shape[1]
+        if getattr(self, "corpus_cache_policy", "disk") == "device":
+            corpus = self.load_spectrogram_corpus_device(dtype=dtype)
+            P, n_notes = corpus.n_rows, corpus.n_notes
+            x = (
+                corpus
+                if self._stacked or n_notes == 1
+                else corpus.as_unstacked()
+            )
+        else:
+            specs = self.load_spectrogram_corpus()  # (P, n_notes, H, W)
+            P, n_notes = specs.shape[0], specs.shape[1]
+            if self._stacked or n_notes == 1:
+                x = specs  # n_notes==1 already has the (P, 1, H, W) layout
+            else:
+                # un-stacked multi-note: items = presets x notes,
+                # note-major per preset
+                x = specs.reshape(
+                    P * n_notes, 1, specs.shape[2], specs.shape[3]
+                )
         if self._stacked or n_notes == 1:
-            x = specs  # n_notes==1 already has the (P, 1, H, W) layout
             p0, v0 = self.midi_notes[0]
             info = np.stack(
                 [uids, np.full(P, p0), np.full(P, v0)], axis=1
             ).astype(np.int32)
             return {"x": x, "v": learnable.astype(np.float32), "info": info}
-        # un-stacked multi-note: items = presets x notes, note-major per preset
-        x = specs.reshape(P * n_notes, 1, specs.shape[2], specs.shape[3])
         v = np.repeat(learnable, n_notes, axis=0).astype(np.float32)
         pitches = np.tile(np.asarray([n[0] for n in self.midi_notes]), P)
         vels = np.tile(np.asarray([n[1] for n in self.midi_notes]), P)

@@ -317,6 +317,12 @@ class DexedDataset(PresetDataset):
             # 'cpp' stays keyless so pre-round-4 sidecars remain valid
             current["render_backend"] = self.corpus_render_backend
             current["render_feedback"] = self._corpus_render_feedback
+            # raw-tier provenance (round-4 advisor): the jax backend's
+            # specs_raw.npy tier is fp16 with exact device-side f32 stats
+            # since round 4; round-3 caches (f32 raw + host stats) in the
+            # same namespace would reload into a slightly different
+            # normalized corpus, so the key mismatch forces a re-render.
+            current["raw_tier"] = "f16+devstats"
         if path.exists():
             with open(path) as f:
                 stored = json.load(f)

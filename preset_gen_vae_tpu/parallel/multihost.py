@@ -135,6 +135,19 @@ def shard_loaders_for_host(loaders, force: bool = False):
         remap = np.full(int(rows.max()) + 1 if len(rows) else 1, -1,
                         dtype=np.int64)
         remap[rows] = np.arange(len(rows))
+        from ..data.corpus_device import ChunkedDeviceCorpus
+
+        if isinstance(ld.tensors.get("x"), ChunkedDeviceCorpus):
+            # corpus_cache_policy='device' is single-host: carving the
+            # device-resident corpus into host shards would fetch it
+            # through the downlink — the exact transfer the policy
+            # removes (training/loop.py raises the same way; round-4
+            # advisor medium finding: the old isinstance check there ran
+            # AFTER this conversion and could never fire)
+            raise ValueError(
+                "corpus_cache_policy='device' cannot be host-sharded; "
+                "use corpus_cache_policy='disk' for multihost runs"
+            )
         tensors = {k: np.asarray(t)[rows] for k, t in ld.tensors.items()}
         local_bs = ld.batch_size // n
         out[name] = SplitLoader(

@@ -4,8 +4,10 @@ gives the best audio-similarity numbers of any family (BENCH.md: spec MAE
 0.190 at 4,096 v1 presets); round 4's A/B showed corpus v2 halves spec MAE
 at full scale. This protocol trains the 3-note stacked flagship
 (reference multi-note contract: encoder.py:95-100 single-CNN-multi-channel
-mode, config.py:155 stacked-vs-multiplied dataset semantics) on 16,384
-structured2 presets.
+mode, config.py:155 stacked-vs-multiplied dataset semantics) on 8,192
+structured2 presets (the default — 16,384 was shown infeasible by the
+round-4 compile OOM below; the round-5 chunked corpus layout lifted that
+ceiling, see scripts/run_stack3_v2_r5.py).
 
 8,192 (not 30,720) because the HBM-resident corpus is per-note AND the
 K=16 scan's gather lowering needs corpus-scale temps: at 16,384 x 3 the

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from preset_gen_vae_tpu import config as cfg
+from preset_gen_vae_tpu.data.corpus_device import ChunkedDeviceCorpus
 from preset_gen_vae_tpu.data.dexed_dataset import DexedDataset
 from preset_gen_vae_tpu.synth.render import engine_available
 from preset_gen_vae_tpu.training.loop import train_config
@@ -61,8 +62,9 @@ def test_device_policy_matches_disk_values(tmp_path):
     )
     x_disk = ds_disk.load_spectrogram_corpus()  # f32 via the fp16 tier
     dev = ds_dev.load_spectrogram_corpus_device(dtype=jnp.float32, chunk=4)
-    assert isinstance(dev, jax.Array)
-    x_dev = np.asarray(dev)
+    assert isinstance(dev, ChunkedDeviceCorpus)
+    assert all(isinstance(c, jax.Array) for c in dev.chunks)
+    x_dev = dev.as_numpy_4d()
     assert x_dev.shape == x_disk.shape == (10, 2, 257, 347)
     # a few fp16 ulps on the [-1, 1] normalized range
     assert float(np.abs(x_disk - x_dev).max()) < 2.5e-3
@@ -75,8 +77,11 @@ def test_device_policy_matches_disk_values(tmp_path):
     assert not (ds_dev._corpus_cache_dir() / "specs_norm_f16.npy").exists()
     # corpus_tensors serves the memoized device corpus as x
     t = ds_dev.corpus_tensors(dtype=jnp.float32)
-    assert isinstance(t["x"], jax.Array)
-    assert np.array_equal(np.asarray(t["x"]), x_dev)
+    assert isinstance(t["x"], ChunkedDeviceCorpus)
+    assert np.array_equal(t["x"].as_numpy_4d(), x_dev)
+    # host fancy indexing (eval targets, figures) gathers items on device
+    sel = np.asarray([3, 0, 7])
+    assert np.array_equal(t["x"][sel], x_dev[sel])
 
 
 @pytest.mark.slow
@@ -98,9 +103,9 @@ def test_device_policy_training_trajectory_matches_disk(tmp_path):
         corpus_cache_policy="device", data_root=tmp_path / "dev", **common
     )
     ds_disk = DexedDataset(data_root=tmp_path / "disk", **common)
-    x_dev = np.asarray(
-        ds_dev.load_spectrogram_corpus_device(dtype=jnp.float32)
-    )
+    x_dev = ds_dev.load_spectrogram_corpus_device(
+        dtype=jnp.float32
+    ).as_numpy_4d()
     diff = np.abs(x_dev - ds_disk.load_spectrogram_corpus())
     assert float(diff.max()) < 2.5e-3, float(diff.max())  # few f16 ulps
 
@@ -121,7 +126,9 @@ def test_device_policy_training_trajectory_matches_disk(tmp_path):
 
     s1 = _train("dev0", ds_dev)
     # the loaders saw a device-resident x
-    assert isinstance(ds_dev.corpus_tensors(dtype=jnp.float32)["x"], jax.Array)
+    assert isinstance(
+        ds_dev.corpus_tensors(dtype=jnp.float32)["x"], ChunkedDeviceCorpus
+    )
     assert np.isfinite(s1["ReconsLoss/Backprop/Valid"])
     assert np.isfinite(s1["LatLoss/Valid"])
     s2 = _train("dev1", ds_dev)  # memoized corpus, fresh model: exact rerun

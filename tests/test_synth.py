@@ -226,6 +226,69 @@ def test_eg_release_rate_doubles_every_4_qrate(renderer):
     assert drops[1] == pytest.approx(2.0 * drops[0], rel=0.15)
 
 
+def test_eg_absolute_full_sweep_fast_end(renderer):
+    """Absolute anchor, fast end (VERDICT r4 #6): the DX7 literature's
+    consistently-reported fastest EG transition is a full ~96 dB sweep in
+    ~10 ms at panel rate 99 (qr=63: 9600 dB/s anchor of the v4 law; the
+    reference's engine contract is Dexed, synth/dexed.py:234-259, whose
+    EG derives from the same measured hardware structure). Release rate
+    99 -> the tone must still be at full level just before note-off
+    (3.0 s) and buried >55 dB down 30 ms after it — and NOT yet silent
+    12 ms after at rate 90 (qr=57: 2195 dB/s, ~44 ms full sweep),
+    pinning the anchor's decade, not just monotonicity."""
+    p = _single_sine_op_preset(seed=12)
+    p[dx.op_param_index(1, dx.OFF_EG_RATES[3])] = 1.0
+    w = renderer.render_note(p, 60, 100)
+    fs = 22050
+    before = _rms_db(w, 2.90, 2.99)
+    after = 20.0 * np.log10(np.abs(w[int(3.03 * fs):int(3.08 * fs)]).max() + 1e-12)
+    assert before - after > 55.0, (before, after)
+    p90 = _single_sine_op_preset(seed=12)
+    p90[dx.op_param_index(1, dx.OFF_EG_RATES[3])] = 90.0 / 99.0
+    w90 = renderer.render_note(p90, 60, 100)
+    # 12 ms at 2195 dB/s is ~26 dB down: audible, far from the -55 floor
+    mid = 20.0 * np.log10(np.abs(w90[int(3.010 * fs):int(3.014 * fs)]).max() + 1e-12)
+    assert before - mid < 40.0, (before, mid)
+
+
+def test_eg_absolute_slew_rate60_golden(renderer):
+    """Absolute mid-rate golden #2 (with rate 50's 42.86 dB/s above):
+    panel rate 60 -> qr=floor(60*41/64)=38 -> increment 6, octave 9 ->
+    9600*6*512/(7*32768) = 128.57 dB/s. Measured over 0.3 s of the
+    post-note-off ramp: expected drop 38.6 dB."""
+    p = _single_sine_op_preset(seed=13)
+    p[dx.op_param_index(1, dx.OFF_EG_RATES[3])] = 60.0 / 99.0
+    w = renderer.render_note(p, 60, 100)
+    drop_db = _rms_db(w, 3.05, 3.10) - _rms_db(w, 3.35, 3.40)
+    assert drop_db == pytest.approx(128.57 * 0.3, rel=0.12), drop_db
+
+
+def test_eg_absolute_slew_rate70_golden(renderer):
+    """Absolute mid-rate golden #3: panel rate 70 -> qr=floor(70*41/64)
+    =44 -> increment 4, octave 11 -> 9600*4*2048/(7*32768) = 342.9 dB/s
+    (full 96 dB sweep in 0.28 s — the 'short percussive release' regime
+    of the published rate charts). Expected drop over 0.1 s: 34.3 dB."""
+    p = _single_sine_op_preset(seed=14)
+    p[dx.op_param_index(1, dx.OFF_EG_RATES[3])] = 70.0 / 99.0
+    w = renderer.render_note(p, 60, 100)
+    drop_db = _rms_db(w, 3.02, 3.06) - _rms_db(w, 3.12, 3.16)
+    assert drop_db == pytest.approx(342.9 * 0.1, rel=0.15), drop_db
+
+
+def test_eg_slowest_rate_full_sweep_decade(renderer):
+    """Absolute anchor, slow end: the literature's slowest DX7 envelope
+    ('about ten minutes' for the full sweep at rate 0) pins the law's
+    other decade: qr=0 -> 9600*4/(7*32768) = 0.1674 dB/s -> 96 dB in
+    ~574 s. A 1-s release window must therefore decay < 1 dB (vs 42.9 dB
+    at rate 50) — asserting the octave structure reaches down 15 octaves
+    from the 9600 dB/s anchor, not just a clamped floor."""
+    p = _single_sine_op_preset(seed=15)
+    p[dx.op_param_index(1, dx.OFF_EG_RATES[3])] = 0.0
+    w = renderer.render_note(p, 60, 100)
+    drop_db = _rms_db(w, 3.05, 3.15) - _rms_db(w, 3.85, 3.95)
+    assert abs(drop_db) < 1.0, drop_db
+
+
 def test_eg_attack_time_monotone_in_rate(renderer):
     """Higher attack rate -> strictly earlier arrival at half amplitude."""
     t_half = []

@@ -406,6 +406,15 @@ class PresetDataset:
         WITHIN the policy the corpus is memoized and training is exactly
         reproducible (tests/test_corpus_device.py).
 
+        Eval-target caveat (ADVICE r4): when training requests the corpus
+        in a 2-byte ``dtype`` (default compute_dtype='bfloat16'), eval's
+        spectrogram TARGETS are that same bf16 tensor, while the disk
+        policy evaluates against f32 (f16-rounded) targets — bf16 keeps
+        only 8 mantissa bits, so eval metrics like spec MAE shift by up to
+        ~2e-3 on the [-1,1] normalized range across policies. This is a
+        storage quantization (upcasting cannot undo it); BENCH.md labels
+        cross-policy eval comparisons accordingly.
+
         Memory: the corpus is built DIRECTLY in the column-chunked 2-D
         row layout the training gather consumes (see
         ``data/corpus_device.py`` — the 4-D layout's in-scan gather cost

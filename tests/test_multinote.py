@@ -18,22 +18,27 @@ pytestmark = pytest.mark.skipif(
 )
 
 NOTES = ((40, 85), (50, 85), (60, 85))
+# the reference's commented-out FULL set (config.py:36) — 6 notes with
+# velocity variation on pitch 60; the round-5 at-scale protocols
+# (scripts/run_6note_r5.py) run exactly this set
+NOTES_6 = ((40, 85), (50, 85), (60, 42), (60, 85), (60, 127), (70, 85))
 
 
 @pytest.mark.slow
-def test_stacked_multinote_run(tmp_path):
+@pytest.mark.parametrize("notes", [NOTES, NOTES_6], ids=["3note", "6note"])
+def test_stacked_multinote_run(tmp_path, notes):
     ds = DexedDataset(
-        n_synthetic_presets=16, synthetic_seed=3, midi_notes=NOTES,
+        n_synthetic_presets=16, synthetic_seed=3, midi_notes=notes,
         multichannel_stacked_spectrograms=True, data_root=tmp_path / "d",
     )
     assert len(ds) == ds.valid_presets_count  # items = presets
-    assert ds.get_spectrogram_tensor_size() == (3, 257, 347)
+    assert ds.get_spectrogram_tensor_size() == (len(notes), 257, 347)
     t = ds.corpus_tensors()
-    assert t["x"].shape[1] == 3  # stacked channels
+    assert t["x"].shape[1] == len(notes)  # stacked channels
     model_c = cfg.ModelConfig(
         name="MnVAE", run_name="stacked", latent_flow_arch=None,
         params_regression_architecture="mlp_2l64", dim_z=16,
-        midi_notes=NOTES, stack_spectrograms=True,
+        midi_notes=notes, stack_spectrograms=True,
         logs_root_dir=str(tmp_path / "saved"),
     )
     train_c = cfg.TrainConfig(
@@ -45,23 +50,24 @@ def test_stacked_multinote_run(tmp_path):
 
 
 @pytest.mark.slow
-def test_unstacked_multinote_run(tmp_path):
+@pytest.mark.parametrize("notes", [NOTES, NOTES_6], ids=["3note", "6note"])
+def test_unstacked_multinote_run(tmp_path, notes):
     ds = DexedDataset(
-        n_synthetic_presets=16, synthetic_seed=3, midi_notes=NOTES,
+        n_synthetic_presets=16, synthetic_seed=3, midi_notes=notes,
         multichannel_stacked_spectrograms=False, data_root=tmp_path / "d",
     )
-    assert len(ds) == ds.valid_presets_count * 3  # dataset-size increase
+    assert len(ds) == ds.valid_presets_count * len(notes)  # size increase
     t = ds.corpus_tensors()
     assert t["x"].shape == (len(ds), 1, 257, 347)
-    # each preset contributes 3 items with distinct pitches
+    # each preset contributes len(notes) items with distinct (pitch, vel)
     uids = t["info"][:, 0]
-    pitches = t["info"][:, 1]
-    assert set(pitches[uids == uids[0]]) == {40, 50, 60}
+    pv = {(int(p), int(v)) for p, v in t["info"][uids == uids[0]][:, 1:3]}
+    assert pv == set(notes)
     model_c = cfg.ModelConfig(
         name="MnVAE", run_name="unstacked",
         latent_flow_arch="realnvp_2l32",
         params_regression_architecture="mlp_2l64", dim_z=16,
-        midi_notes=NOTES, stack_spectrograms=False,
+        midi_notes=notes, stack_spectrograms=False,
         logs_root_dir=str(tmp_path / "saved"),
     )
     train_c = cfg.TrainConfig(

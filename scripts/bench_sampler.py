@@ -10,10 +10,14 @@ sampler makes window-catching unattended:
   the TPU lock (scripts/tpu_lock.py), run ``python bench.py --probe``
   (~10 s warm) — every sample self-appends to
   ``saved/bench_samples.jsonl`` with a timestamp;
-- when a probe reads ``chip_regime: "fast"``, immediately run the full
-  ``python bench.py`` under the same lock (the capture that becomes the
-  official record is whichever the driver runs, but the sample series
-  proves what the machine could do and when);
+- when a probe reads ``chip_regime: "fast"`` AND its conv-net leg beats
+  the throttled plateau (every slow-window sample round 4-5 sits at
+  convnet_step 1.29-1.32 ms; a real fast window is far below — the
+  round-5 04:33 sample showed the probe's absolute threshold alone calls
+  a 5x-throttled window "fast" and burns a 19-minute full bench on it),
+  immediately run the full ``python bench.py`` under the same lock (the
+  capture that becomes the official record is whichever the driver runs,
+  but the sample series proves what the machine could do and when);
 - full captures are rate-limited to one per ``--full-gap`` seconds
   (default 2 h) so a long fast window doesn't burn the chip on
   redundant benches.
@@ -74,9 +78,16 @@ def main():
                 with tpu_lock("bench_sampler_probe"):
                     probe = _run(["--probe"], timeout=1200)
                     regime = (probe or {}).get("chip_regime")
-                    print(f"[sampler] probe -> {regime}", flush=True)
+                    conv_ms = (probe or {}).get("probe_convnet_step_ms")
+                    print(
+                        f"[sampler] probe -> {regime} (conv {conv_ms} ms)",
+                        flush=True,
+                    )
                     if (
                         regime == "fast"
+                        and conv_ms is not None
+                        and conv_ms < 1.0  # clearly below the 1.29-1.32 ms
+                        # throttled plateau; see module docstring
                         and time.time() - last_full > full_gap
                     ):
                         print("[sampler] fast window: full bench", flush=True)

@@ -61,7 +61,7 @@ def main() -> None:
         model_r, train_r, n_synthetic_presets=n,
         synthetic_style="structured2",
     )
-    with tpu_lock(f"stack3_r5_{n}", wait_s=3600.0):
+    with tpu_lock(f"stack3_r5_{n}", wait_s=14400.0):
         t0 = time.time()
         summary = train_config(model_c, train_c, dataset=dataset,
                                use_tensorboard=False)

@@ -16,6 +16,13 @@ Both run at 8,192 structured2 presets (49,152 spectrograms — the same
 HBM footprint the chunked corpus layout was probed at for the 16k
 3-note flagship) with the device-resident render-to-train corpus.
 
+SCALE CEILING for this script's same-process train+eval: it completed
+with corpora up to ~6.5 GB bf16 (49,152 specs) but the eval phase hits
+RESOURCE_EXHAUSTED at >= 8 GB corpora (measured: 20,480x3 and
+12,288x6-multi both trained fine then OOM'd in eval) — training
+remnants + corpus + render buffers exceed the 15.75 GB chip. Above
+that, eval must run fresh-process: scripts/eval_saved_r5.py.
+
 Run (idle host, detached — CLAUDE.md long-run convention):
   setsid nohup python scripts/run_6note_r5.py stack \
       > saved/r5logs/stack6.log 2>&1 & echo $! > /tmp/stack6_r5.pid

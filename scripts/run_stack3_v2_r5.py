@@ -17,6 +17,11 @@ Run (idle host, detached — CLAUDE.md long-run convention):
 Prints one JSON line at the end (train summary + full eval metrics).
 Holds the TPU lock (scripts/tpu_lock.py) for the whole run so the armed
 bench sampler never collides with it.
+
+SCALE CEILING: same-process train+eval works up to 16,384 presets
+(6.47 GB corpus); at 20,480 (8.08 GB) training completes but the eval
+phase hits RESOURCE_EXHAUSTED (saved/r5logs/stack3_20k.log) — use the
+fresh-process scripts/eval_saved_r5.py above 16,384.
 """
 
 from __future__ import annotations

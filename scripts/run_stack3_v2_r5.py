@@ -46,8 +46,14 @@ from preset_gen_vae_tpu.training.loop import train_config
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
-    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    # --no-eval: train only (above 16,384 presets the same-process eval
+    # is KNOWN to RESOURCE_EXHAUSTED — see SCALE CEILING above — so the
+    # caller chains scripts/eval_saved_r5.py in a fresh process instead
+    # of burning an eval compile that must fail).
+    no_eval = "--no-eval" in sys.argv
+    argv = [a for a in sys.argv if a != "--no-eval"]
+    n = int(argv[1]) if len(argv) > 1 else 16384
+    epochs = int(argv[2]) if len(argv) > 2 else 400
     run = f"r5stack3_v2_{n}"
     model_c = cfg.ModelConfig(
         run_name=run,
@@ -71,6 +77,15 @@ def main() -> None:
         summary = train_config(model_c, train_c, dataset=dataset,
                                use_tensorboard=False)
         train_s = time.time() - t0
+
+        if no_eval:
+            print(json.dumps({
+                "run": run, "n_presets": n, "style": "structured2",
+                "midi_notes": 3, "stacked": True, "eval": "skipped",
+                "epochs_trained": summary.get("epochs_trained"),
+                "train_wall_s": round(train_s, 1),
+            }), flush=True)
+            return
 
         ep = list_checkpoint_epochs(model_r)[-1]
         ec = cfg.EvalConfig(epoch=ep, dataset="validation",

@@ -285,9 +285,19 @@ def _probe_chip_regime():
     conv_mfu = conv_flops / best_cv / peak
     conv_step_ms = best_cv / CONV_STEPS * 1e3
 
-    slow = (best_disp > 5e-3 or best_rtt > 1.0 or mm_frac < 0.35
-            or hbm_frac < 0.35 or small_us > 8.0 or conv_mfu < 0.08)
-    return ("slow" if slow else "fast"), {
+    hard_slow = (best_disp > 5e-3 or best_rtt > 1.0 or mm_frac < 0.35
+                 or hbm_frac < 0.35 or small_us > 8.0 or conv_mfu < 0.08)
+    # Round-4/5 finding: the ~5x selective flagship throttle leaves every
+    # absolute leg above "mediocre" — its only probe signature is the
+    # conv-net step sitting at the 1.29-1.44 ms plateau (MFU ~0.15)
+    # instead of the healthy < 1.0 ms (MFU ~0.2+). Classify that window
+    # slow HERE, not just in the sampler, so the committed --probe sample
+    # series (saved/bench_samples.jsonl) is self-consistent: a "fast"
+    # probe means a full bench is worth its ~19 minutes. The full bench
+    # flips this call back to "fast" if the flagship itself then measures
+    # at representative speed (the flagship outranks any synthetic leg).
+    conv_plateau = conv_step_ms >= 1.0
+    info = {
         "probe_tiny_dispatch_ms": round(best_disp * 1e3, 3),
         "probe_device_get_rtt_ms": round(best_rtt * 1e3, 3),
         "probe_matmul_tflops_per_sec": round(mm_tflops, 1),
@@ -298,6 +308,12 @@ def _probe_chip_regime():
         "probe_convnet_step_ms": round(conv_step_ms, 3),
         "probe_convnet_mfu": round(conv_mfu, 4),
     }
+    if conv_plateau and not hard_slow:
+        info["chip_regime_reason"] = (
+            f"convnet leg {conv_step_ms:.3f} ms at the throttled plateau "
+            f"(healthy < 1.0 ms)"
+        )
+    return ("slow" if (hard_slow or conv_plateau) else "fast"), info
 
 # bf16 dense peak per chip, by jax device_kind. "TPU v5 lite" is v5e:
 # 197 TFLOP/s bf16 (public spec). MFU is computed against the bf16 peak
@@ -569,6 +585,22 @@ def main():
                 out["chip_regime_reason"] = (
                     f"flagship mfu {mfu:.3f} < half of demonstrated best "
                     f"{BEST_DEMONSTRATED_MFU}"
+                )
+            elif (
+                mfu >= 0.5 * BEST_DEMONSTRATED_MFU
+                and chip_regime == "slow"
+                and str(probe.get("chip_regime_reason", "")).startswith(
+                    "convnet leg"
+                )
+            ):
+                # the probe's conv-plateau call was wrong for this window:
+                # the flagship itself ran at representative speed, and the
+                # flagship outranks any synthetic leg in BOTH directions
+                chip_regime = "fast"
+                out["chip_regime"] = "fast"
+                out["chip_regime_reason"] = (
+                    f"flagship mfu {mfu:.3f} >= half of demonstrated best "
+                    f"despite probe conv-net plateau"
                 )
 
     # capability figure: large-batch throughput (the chip's ceiling; the

@@ -12,9 +12,11 @@ sampler makes window-catching unattended:
   ``saved/bench_samples.jsonl`` with a timestamp;
 - when a probe reads ``chip_regime: "fast"`` AND its conv-net leg beats
   the throttled plateau (every slow-window sample round 4-5 sits at
-  convnet_step 1.29-1.32 ms; a real fast window is far below — the
-  round-5 04:33 sample showed the probe's absolute threshold alone calls
-  a 5x-throttled window "fast" and burns a 19-minute full bench on it),
+  convnet_step 1.29-1.44 ms; a real fast window is far below — the
+  round-5 04:33 sample showed the probe's OLD absolute thresholds alone
+  called a 5x-throttled window "fast" and burned a 19-minute full bench
+  on it; bench.py now folds the conv-plateau criterion into the probe's
+  own regime call, so the conv_ms check here is defense in depth),
   immediately run the full ``python bench.py`` under the same lock (the
   capture that becomes the official record is whichever the driver runs,
   but the sample series proves what the machine could do and when);

@@ -129,11 +129,9 @@ def _probe_chip_regime():
       independent evidence that a low capture is environment);
     - an HBM-bandwidth leg and a SMALL-KERNEL chain leg (below).
 
-    Regime is "slow" when any leg degrades: dispatch > 5 ms, RTT > 1 s,
-    the matmul chain achieves < 35% of the advertised bf16 peak (a
-    single large matmul reaches well above that in healthy windows),
-    HBM < 35% of nominal, the small-matmul chain runs > 8 us/iter, or
-    the frozen conv-net train-step leg lands below MFU 0.08."""
+    Regime thresholds live in :func:`classify_regime` (pure,
+    unit-tested): the hard-slow legs, plus the conv-net plateau rule
+    that catches the round-4/5 selective throttle."""
     tiny = jax.jit(lambda a: a + 1.0)
     a = jnp.zeros((8,), jnp.float32)
     a = tiny(a)  # compile
@@ -285,18 +283,6 @@ def _probe_chip_regime():
     conv_mfu = conv_flops / best_cv / peak
     conv_step_ms = best_cv / CONV_STEPS * 1e3
 
-    hard_slow = (best_disp > 5e-3 or best_rtt > 1.0 or mm_frac < 0.35
-                 or hbm_frac < 0.35 or small_us > 8.0 or conv_mfu < 0.08)
-    # Round-4/5 finding: the ~5x selective flagship throttle leaves every
-    # absolute leg above "mediocre" — its only probe signature is the
-    # conv-net step sitting at the 1.29-1.44 ms plateau (MFU ~0.15)
-    # instead of the healthy < 1.0 ms (MFU ~0.2+). Classify that window
-    # slow HERE, not just in the sampler, so the committed --probe sample
-    # series (saved/bench_samples.jsonl) is self-consistent: a "fast"
-    # probe means a full bench is worth its ~19 minutes. The full bench
-    # flips this call back to "fast" if the flagship itself then measures
-    # at representative speed (the flagship outranks any synthetic leg).
-    conv_plateau = conv_step_ms >= 1.0
     info = {
         "probe_tiny_dispatch_ms": round(best_disp * 1e3, 3),
         "probe_device_get_rtt_ms": round(best_rtt * 1e3, 3),
@@ -308,12 +294,44 @@ def _probe_chip_regime():
         "probe_convnet_step_ms": round(conv_step_ms, 3),
         "probe_convnet_mfu": round(conv_mfu, 4),
     }
+    regime, reason = classify_regime(
+        disp_ms=best_disp * 1e3, rtt_ms=best_rtt * 1e3, mm_frac=mm_frac,
+        hbm_frac=hbm_frac, small_us=small_us, conv_mfu=conv_mfu,
+        conv_step_ms=conv_step_ms,
+    )
+    if reason:
+        info["chip_regime_reason"] = reason
+    return regime, info
+
+
+def classify_regime(*, disp_ms, rtt_ms, mm_frac, hbm_frac, small_us,
+                    conv_mfu, conv_step_ms):
+    """Pure window classification over the measured probe legs ->
+    ``(regime, reason_or_None)``. Unit-tested (tests/test_bench_regime.py).
+
+    Hard-slow legs: any of dispatch > 5 ms, RTT > 1 s, big-matmul < 0.35
+    of peak, HBM < 0.35 of nominal, small-matmul chain > 8 us/iter,
+    conv-net MFU < 0.08.
+
+    Conv-plateau leg (round-4/5 finding): the ~5x selective flagship
+    throttle leaves every absolute leg above "mediocre" — its only probe
+    signature is the conv-net step at the 1.29-1.44 ms plateau
+    (MFU ~0.15) instead of the healthy < 1.0 ms (MFU ~0.2+). Classified
+    slow HERE, not just in the sampler, so the committed --probe sample
+    series (saved/bench_samples.jsonl) is self-consistent: a "fast"
+    probe means a full bench is worth its ~19 minutes. The full bench
+    flips this call back to "fast" if the flagship itself then measures
+    at representative speed (the flagship outranks any synthetic leg)."""
+    hard_slow = (disp_ms > 5.0 or rtt_ms > 1e3 or mm_frac < 0.35
+                 or hbm_frac < 0.35 or small_us > 8.0 or conv_mfu < 0.08)
+    conv_plateau = conv_step_ms >= 1.0
+    reason = None
     if conv_plateau and not hard_slow:
-        info["chip_regime_reason"] = (
+        reason = (
             f"convnet leg {conv_step_ms:.3f} ms at the throttled plateau "
             f"(healthy < 1.0 ms)"
         )
-    return ("slow" if (hard_slow or conv_plateau) else "fast"), info
+    return ("slow" if (hard_slow or conv_plateau) else "fast"), reason
 
 # bf16 dense peak per chip, by jax device_kind. "TPU v5 lite" is v5e:
 # 197 TFLOP/s bf16 (public spec). MFU is computed against the bf16 peak

@@ -58,10 +58,16 @@ NOTES_6 = ((40, 85), (50, 85), (60, 42), (60, 85), (60, 127), (70, 85))
 
 
 def main() -> None:
-    mode = sys.argv[1] if len(sys.argv) > 1 else "stack"
+    # --no-eval: train only (at >= 8 GB corpora the same-process eval is
+    # KNOWN to RESOURCE_EXHAUSTED — SCALE CEILING above — so the caller
+    # chains scripts/eval_saved_r5.py in a fresh process instead of
+    # burning an eval compile that must fail).
+    no_eval = "--no-eval" in sys.argv
+    argv = [a for a in sys.argv if a != "--no-eval"]
+    mode = argv[1] if len(argv) > 1 else "stack"
     assert mode in ("stack", "multi"), mode
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
-    epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 400
+    n = int(argv[2]) if len(argv) > 2 else 8192
+    epochs = int(argv[3]) if len(argv) > 3 else 400
     run = f"r5{mode}6_v2_{n}"
     model_c = cfg.ModelConfig(
         run_name=run,
@@ -83,6 +89,15 @@ def main() -> None:
         summary = train_config(model_c, train_c, dataset=dataset,
                                use_tensorboard=False)
         train_s = time.time() - t0
+
+        if no_eval:
+            print(json.dumps({
+                "run": run, "n_presets": n, "style": "structured2",
+                "midi_notes": 6, "mode": mode, "eval": "skipped",
+                "epochs_trained": summary.get("epochs_trained"),
+                "train_wall_s": round(train_s, 1),
+            }), flush=True)
+            return
 
         ep = list_checkpoint_epochs(model_r)[-1]
         ec = cfg.EvalConfig(epoch=ep, dataset="validation",

@@ -40,28 +40,61 @@ def holder() -> tuple:
     return pid, label.strip()
 
 
+def _try_acquire(label: str) -> bool:
+    """One atomic acquisition attempt: O_CREAT|O_EXCL so two waiters
+    polling the same release instant cannot BOTH conclude the chip is
+    free and write over each other (two live holders wedge the chip —
+    the exact failure the lock exists to prevent). Stale files (dead
+    holder PID) are unlinked and the create retried once."""
+    for _ in range(2):
+        try:
+            fd = os.open(LOCK_PATH, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            pid, _ = holder()
+            if pid is not None:  # live holder (or our own re-entry)
+                return False
+            with contextlib.suppress(OSError):
+                LOCK_PATH.unlink()  # stale: dead PID
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(f"{os.getpid()} {label}")
+        return True
+    return False
+
+
+_depth = 0  # same-process nesting depth; only depth 0 -> 1 -> 0 touches
+# the file (an inner ``with`` exiting must NOT release the outer hold)
+
+
 @contextlib.contextmanager
 def tpu_lock(label: str, wait_s: float = 0.0, poll_s: float = 30.0):
     """Acquire the chip lock (reclaiming stale ones), yield, release.
-    Raises ``TimeoutError`` if a live holder persists past ``wait_s``."""
+    Raises ``TimeoutError`` if a live holder persists past ``wait_s``.
+    Re-entrant within one process (depth-counted)."""
+    global _depth
     deadline = time.time() + wait_s
     while True:
-        pid, who = holder()
-        if pid is None or pid == os.getpid():
+        pid, _who = holder()
+        if pid == os.getpid():
+            break  # re-entry by the same process keeps the lock
+        if _try_acquire(label):
             break
+        pid, who = holder()
         if time.time() >= deadline:
             raise TimeoutError(
                 f"TPU lock held by pid {pid} ({who}); retry later"
             )
         time.sleep(poll_s)
-    LOCK_PATH.write_text(f"{os.getpid()} {label}")
+    _depth += 1
     try:
         yield
     finally:
-        p, _ = holder()
-        if p == os.getpid():
-            with contextlib.suppress(OSError):
-                LOCK_PATH.unlink()
+        _depth -= 1
+        if _depth == 0:
+            p, _ = holder()
+            if p == os.getpid():
+                with contextlib.suppress(OSError):
+                    LOCK_PATH.unlink()
 
 
 def locked_out() -> bool:

@@ -10,13 +10,10 @@ compile on the 15.75 GB chip. This wrapper tries 10,240 then falls back
 to 9,216 (7.27 GB corpus) — each attempt a FRESH subprocess (a failed
 compile leaves HBM fragmented).
 
-Failure triage per attempt (the run script trains then evals in one
-process — scripts/run_6note_r5.py):
-- rc == 0: everything (train + eval) succeeded — done.
-- rc != 0 but the run has checkpoints: training SUCCEEDED and only the
-  same-process eval OOM'd (the >= 8 GB-corpus failure mode,
-  scripts/eval_saved_r5.py docstring) — run the fresh-process salvage
-  eval instead of wastefully retraining smaller.
+Failure triage per attempt (the run script trains with --no-eval —
+both scales are in the >= 8 GB-corpus class where same-process eval is
+KNOWN to OOM, so eval ALWAYS runs fresh-process via eval_saved_r5.py):
+- train rc == 0 (or checkpoints exist): run the fresh-process eval.
 - rc != 0 and no checkpoints: compile/alloc failure before training —
   retry at the smaller scale.
 
@@ -44,18 +41,18 @@ def _has_checkpoints(n: int) -> bool:
 def main() -> None:
     for n in (10240, 9216):
         print(f"[stack6_max] attempting n={n}", flush=True)
+        # both scales sit in the >= 8 GB-corpus class where same-process
+        # eval is KNOWN to OOM, so train with --no-eval and always eval
+        # in a fresh process (scripts/eval_saved_r5.py)
         r = subprocess.run(
             [sys.executable, str(REPO / "scripts" / "run_6note_r5.py"),
-             "stack", str(n), "400"],
+             "stack", str(n), "400", "--no-eval"],
             cwd=REPO,
         )
-        if r.returncode == 0:
-            print(f"[stack6_max] n={n} SUCCEEDED", flush=True)
-            return
-        if _has_checkpoints(n):
-            print(f"[stack6_max] n={n} trained but in-process eval died "
-                  f"(rc={r.returncode}); fresh-process salvage eval",
-                  flush=True)
+        if r.returncode == 0 or _has_checkpoints(n):
+            if r.returncode != 0:
+                print(f"[stack6_max] n={n} train exited rc={r.returncode} "
+                      f"but left checkpoints; salvaging", flush=True)
             r2 = subprocess.run(
                 [sys.executable, str(REPO / "scripts" / "eval_saved_r5.py"),
                  "stack6", str(n)],

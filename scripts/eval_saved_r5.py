@@ -70,10 +70,21 @@ def main() -> None:
         model_r, train_r, n_synthetic_presets=n,
         synthetic_style="structured2",
     )
+    # The audio render+similarity phase dispatches audio_batch_size x 2
+    # exact-feedback renders at once while the DEVICE CORPUS stays
+    # resident. Measured envelope (this round): 512 renders/dispatch fit
+    # beside a 6.47 GB corpus (16,384x3) but RESOURCE_EXHAUSTED beside
+    # 8.08 GB (20,480x3, saved/r5logs/stack3_20k_r5b.log) — render temps
+    # scale ~linearly with the dispatch, so shrink it as the corpus
+    # grows instead of failing.
+    n_specs = n * (len(notes) if stacked or family == "multi6" else 1)
+    corpus_gb = n_specs * 257 * 347 * 2 / 1e9
+    audio_bs = 256 if corpus_gb < 7.0 else (64 if corpus_gb < 10.0 else 32)
     with tpu_lock(f"eval_{run}", wait_s=14400.0):
         ep = list_checkpoint_epochs(model_r)[-1]
         ec = cfg.EvalConfig(epoch=ep, dataset="validation",
-                            override_previous_eval=True)
+                            override_previous_eval=True,
+                            audio_batch_size=audio_bs)
         t0 = time.time()
         evaluate_model(model_c, train_c, ec, dataset=dataset)
         eval_s = time.time() - t0
@@ -83,7 +94,7 @@ def main() -> None:
     print(json.dumps({
         "run": run, "n_presets": n, "style": "structured2",
         "family": family, "epoch_evaluated": ep,
-        "eval_wall_s": round(eval_s, 1),
+        "eval_wall_s": round(eval_s, 1), "audio_batch_size": audio_bs,
         **{k: round(v, 4) if isinstance(v, float) else v
            for k, v in s.items()},
     }), flush=True)

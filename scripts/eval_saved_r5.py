@@ -73,13 +73,15 @@ def main() -> None:
     # The audio render+similarity phase dispatches audio_batch_size x 2
     # exact-feedback renders at once while the DEVICE CORPUS stays
     # resident. Measured envelope (this round): 512 renders/dispatch fit
-    # beside a 6.47 GB corpus (16,384x3) but RESOURCE_EXHAUSTED beside
-    # 8.08 GB (20,480x3, saved/r5logs/stack3_20k_r5b.log) — render temps
-    # scale ~linearly with the dispatch, so shrink it as the corpus
-    # grows instead of failing.
+    # beside the 8.77 GB (decimal; 8.16 GiB) 16,384x3 corpus but
+    # RESOURCE_EXHAUSTED beside the 10.96 GB 20,480x3 one
+    # (saved/r5logs/stack3_20k_r5b.log) — render temps scale ~linearly
+    # with the dispatch, so shrink it as the corpus grows instead of
+    # failing. (Corpus bytes = specs x 257 x 347 x bf16; the probe table
+    # saved/r5_gather_probe.log args column = corpus + 0.68G train state.)
     n_specs = n * (len(notes) if stacked or family == "multi6" else 1)
     corpus_gb = n_specs * 257 * 347 * 2 / 1e9
-    audio_bs = 256 if corpus_gb < 7.0 else (64 if corpus_gb < 10.0 else 32)
+    audio_bs = 256 if corpus_gb < 9.0 else (64 if corpus_gb < 12.0 else 32)
     with tpu_lock(f"eval_{run}", wait_s=14400.0):
         ep = list_checkpoint_epochs(model_r)[-1]
         ec = cfg.EvalConfig(epoch=ep, dataset="validation",

@@ -17,11 +17,12 @@ HBM footprint the chunked corpus layout was probed at for the 16k
 3-note flagship) with the device-resident render-to-train corpus.
 
 SCALE CEILING for this script's same-process train+eval: it completed
-with corpora up to ~6.5 GB bf16 (49,152 specs) but the eval phase hits
-RESOURCE_EXHAUSTED at >= 8 GB corpora (measured: 20,480x3 and
+with corpora up to 8.77 GB bf16 (49,152 specs) but the eval phase hits
+RESOURCE_EXHAUSTED at ~11 GB corpora (measured: 20,480x3 and
 12,288x6-multi both trained fine then OOM'd in eval) — training
 remnants + corpus + render buffers exceed the 15.75 GB chip. Above
-that, eval must run fresh-process: scripts/eval_saved_r5.py.
+that, eval must run fresh-process: scripts/eval_saved_r5.py (which
+also shrinks the audio dispatch to fit beside the resident corpus).
 
 Run (idle host, detached — CLAUDE.md long-run convention):
   setsid nohup python scripts/run_6note_r5.py stack \

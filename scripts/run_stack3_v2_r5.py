@@ -19,9 +19,13 @@ Holds the TPU lock (scripts/tpu_lock.py) for the whole run so the armed
 bench sampler never collides with it.
 
 SCALE CEILING: same-process train+eval works up to 16,384 presets
-(6.47 GB corpus); at 20,480 (8.08 GB) training completes but the eval
-phase hits RESOURCE_EXHAUSTED (saved/r5logs/stack3_20k.log) — use the
-fresh-process scripts/eval_saved_r5.py above 16,384.
+(8.77 GB bf16 corpus = 8.16 GiB; probe args 8.84G = corpus + 0.68G
+state); at 20,480 (10.96 GB) training completes but the eval phase hits
+RESOURCE_EXHAUSTED (saved/r5logs/stack3_20k.log) — use the
+fresh-process scripts/eval_saved_r5.py above 16,384, which also shrinks
+the audio dispatch to fit beside the resident corpus (a fresh process
+at the default 512 renders/dispatch STILL OOMs at 20,480 —
+saved/r5logs/stack3_20k_r5b.log).
 """
 
 from __future__ import annotations

@@ -2,13 +2,14 @@
 scale that fits one chip.
 
 HBM budget (round-5 AOT gather probe + completed runs): the
-61,440-spectrogram corpus class (= 20,480x3 or 10,240x6) holds 8.08 GB
-bf16; the 3-note flagship compiled at 14.07 GB total there, but the
-6-note stacked model's per-step activations are ~2x the 3-note's
-(batch 160 items x 6 channels = 960 specs/step), so 10,240x6 may not
-compile on the 15.75 GB chip. This wrapper tries 10,240 then falls back
-to 9,216 (7.27 GB corpus) — each attempt a FRESH subprocess (a failed
-compile leaves HBM fragmented).
+61,440-spectrogram corpus class (= 20,480x3 or 10,240x6) holds 10.96 GB
+bf16 (10.21 GiB; probe args 10.89G = corpus + 0.68G train state); the
+3-note flagship compiled at 14.07 GB total there, but the 6-note
+stacked model's per-step activations are ~2x the 3-note's (batch 160
+items x 6 channels = 960 specs/step), so 10,240x6 may not compile on
+the 15.75 GB chip. This wrapper tries 10,240 then falls back to 9,216
+(9.87 GB corpus) — each attempt a FRESH subprocess (a failed compile
+leaves HBM fragmented).
 
 Failure triage per attempt (the run script trains with --no-eval —
 both scales are in the >= 8 GB-corpus class where same-process eval is
